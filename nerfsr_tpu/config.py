@@ -1,0 +1,292 @@
+"""Configuration / CLI.
+
+The reference builds its flag set dynamically by asking each chosen
+model/dataset/network/embedding class for flags (``options/base_options.py:
+76-101``). Here the full flag surface is declared once, flat, with the SAME
+names and defaults, so the shell scripts in the reference's ``scripts/``
+directory work verbatim against our ``train.py``/``test.py``. Per-dataset
+default overrides (blender: white_bkgd=True noise_std=0; llff*: white_bkgd=
+False noise_std=1 — ``data/blender_dataset.py:15``, ``data/llff_dataset.py:
+174``) are applied after parsing.
+
+TPU-specific additions are grouped at the bottom (``--precision``,
+``--mesh_devices``, ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def str2bool(v):
+    """Parity: ``options/__init__.py:23-31``."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def build_parser(phase: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+
+    # ---- base options (options/base_options.py:35-74) ----
+    p.add_argument("--accelerator", type=str, default="dp",
+                   choices=["dp", "ddp"],
+                   help="compat no-op: both map to the jax device mesh")
+    p.add_argument("--name", type=str, required=True)
+    p.add_argument("--checkpoints_dir", type=str, default="./checkpoints")
+    p.add_argument("--summary_dir", type=str, default="./runs")
+    p.add_argument("--seed", type=int, default=99)
+    p.add_argument("--model", type=str, default="template")
+    p.add_argument("--init_type", type=str, default="kaiming")
+    p.add_argument("--init_gain", type=float, default=0.02)
+    p.add_argument("--dataset_mode", type=str, default="template")
+    p.add_argument("--dataset_root", type=str, required=True)
+    p.add_argument("--sisr_path", type=str, default=None)
+    p.add_argument("--num_threads", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=2048)
+    p.add_argument("--eval_batch_size", type=int, default=1)
+    p.add_argument("--max_dataset_size", type=float, default=float("inf"))
+    p.add_argument("--img_wh", type=int, nargs=2, required=True)
+    p.add_argument("--use_pixel_centers", type=str2bool, default=True)
+    p.add_argument("--patch_size", type=int, default=1)
+    p.add_argument("--phase", type=str, default=phase,
+                   choices=["train", "test", "infer"])
+    p.add_argument("--load_epoch", type=str, default="latest")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--suffix", default="", type=str)
+    p.add_argument("--ray_chunk", type=int, default=4096,
+                   help="host-level eval chunk (training never chunks)")
+    p.add_argument("--point_chunk", type=int, default=2048 * 128,
+                   help="compat no-op on TPU: the MLP batch is never split")
+
+    if phase == "train":
+        # ---- train options (options/train_options.py) ----
+        p.add_argument("--print_freq", type=int, default=10)
+        p.add_argument("--vis_freq", type=int, default=10)
+        p.add_argument("--vis_epoch_freq", type=int, default=5)
+        p.add_argument("--val_freq", type=int, default=10)
+        p.add_argument("--val_epoch_freq", type=int, default=1)
+        p.add_argument("--save_epoch_freq", type=int, default=1)
+        p.add_argument("--continue_train", action="store_true")
+        p.add_argument("--init_weights", type=str, default=None)
+        p.add_argument("--init_weights_keys", type=str, default=".+")
+        p.add_argument("--fix_layers", type=str, default=None)
+        p.add_argument("--precrop_frac", type=float, default=0.5)
+        p.add_argument("--keep_last", action="store_true")
+        p.add_argument("--train_split", type=str, default="train")
+        p.add_argument("--val_split", type=str, default="val")
+        p.add_argument("--val_epoch_split", type=str, default="test_train")
+    else:
+        # ---- test options (options/test_options.py) ----
+        p.add_argument("--results_dir", type=str, default="./results/")
+    p.add_argument("--test_split", type=str, default="test")
+
+    # optimizer hyperparameters are needed in BOTH phases: checkpoint
+    # restore rebuilds the optimizer-state pytree structure at load time
+    # (unlike the reference, we checkpoint adam moments too).
+    p.add_argument("--n_epochs", type=int, default=20)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--lr_policy", type=str, default="exp")
+    p.add_argument("--lr_final", type=float, default=5e-6)
+    p.add_argument("--n_epochs_decay", type=int, default=10)
+    p.add_argument("--lr_decay_epochs", type=int, default=10)
+    p.add_argument("--lr_decay_gamma", type=float, default=0.1)
+    p.add_argument("--grad_clip_val", type=float, default=0)
+    p.add_argument("--grad_clip_type", type=str, default="norm",
+                   choices=["norm", "value"])
+
+    # ---- nerf model options (models/nerf_model.py:42-72) ----
+    p.add_argument("--mlp_network", type=str, default="vanilla_mlp")
+    p.add_argument("--embedding", type=str, default="positional_encoding")
+    p.add_argument("--N_coarse", type=int, default=64)
+    p.add_argument("--N_importance", type=int, default=64)
+    p.add_argument("--lindisp", action="store_true")
+    p.add_argument("--noise_std", type=float, default=0.0)
+    p.add_argument("--white_bkgd", action="store_true", default=None)
+    p.add_argument("--randomized", type=str2bool, default=True)
+    p.add_argument("--dim_rgb", type=int, default=3)
+    p.add_argument("--dim_pos", type=int, default=3)
+    p.add_argument("--dim_dir", type=int, default=3)
+    p.add_argument("--deg_pos", type=int, default=10)
+    p.add_argument("--deg_dir", type=int, default=4)
+    p.add_argument("--lambda_coarse_mse", type=float, default=1.0)
+    p.add_argument("--lambda_fine_mse", type=float, default=1.0)
+    p.add_argument("--lambda_coarse_depth_lap", type=float, default=0.0)
+    p.add_argument("--lambda_fine_depth_lap", type=float, default=0.0)
+    p.add_argument("--lambda_coarse_vgg", type=float, default=0.0)
+    p.add_argument("--lambda_fine_vgg", type=float, default=0.0)
+    p.add_argument("--color_activation", type=str, default="sigmoid",
+                   choices=["none", "sigmoid"])
+    p.add_argument("--sigma_activation", type=str, default="relu",
+                   choices=["relu", "softplus"])
+    p.add_argument("--bilateral_gamma", type=float, default=0.1)
+    p.add_argument("--with_ref", action="store_true")
+    p.add_argument("--no_ref_loss", action="store_true")
+    p.add_argument("--downscale", type=int, default=2)
+
+    # ---- embedding options (models/embedding.py:16-19) ----
+    p.add_argument("--no_xyz", action="store_true")
+    p.add_argument("--no_logscale", action="store_true")
+
+    # ---- vanilla_mlp options (models/networks.py:122-129) ----
+    p.add_argument("--D", type=int, default=8)
+    p.add_argument("--W", type=int, default=256)
+    p.add_argument("--skips", type=int, nargs="+", default=[4])
+    p.add_argument("--stop_grad", type=str2bool, default=False)
+    p.add_argument("--no_dir", action="store_true")
+
+    # ---- nerf_downX model options (models/nerf_downX_model.py:106-130) ----
+    p.add_argument("--use_var_loss", action="store_true")
+    p.add_argument("--lambda_coarse_var", type=float, default=0.01)
+    p.add_argument("--lambda_fine_var", type=float, default=0.01)
+    p.add_argument("--use_depth_var_loss", action="store_true")
+    p.add_argument("--lambda_coarse_depth_var", type=float, default=0.01)
+    p.add_argument("--lambda_fine_depth_var", type=float, default=0.01)
+    p.add_argument("--ds_method", type=str, default="lanc",
+                   choices=["avg", "lanc"])
+    p.add_argument("--with_sr", action="store_true")
+    p.add_argument("--with_netD", action="store_true")
+    p.add_argument("--dis_network", type=str, default="nlayerdiscriminator")
+    p.add_argument("--patch_len", type=int, default=32)
+    p.add_argument("--lambda_L1", type=float, default=100.0)
+    p.add_argument("--lambda_gan", type=float, default=0.005)
+    p.add_argument("--use_grad", action="store_true")
+    p.add_argument("--gan_lr", type=float, default=5e-4)
+    p.add_argument("--gan_mode", type=str, default="vanilla",
+                   choices=["vanilla", "lsgan", "wgangp"])
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--gan_iter", type=int, default=10)
+    p.add_argument("--gamma_correct", action="store_true")
+    p.add_argument("--reg_patch", action="store_true")
+    p.add_argument("--reg_patch_len", type=int, default=1)
+    p.add_argument("--reg_patch_freq", type=int, default=5)
+    p.add_argument("--reg_lambda_tv", type=float, default=1.0)
+
+    # ---- llff / llff_downX dataset options ----
+    p.add_argument("--spheric_poses", action="store_true")
+    p.add_argument("--val_num", type=int, default=1)
+    p.add_argument("--include_var", action="store_true")
+    p.add_argument("--ref_freq", type=int, default=1)
+    p.add_argument("--unified_dir", action="store_true")
+    p.add_argument("--all_ref", action="store_true")
+    p.add_argument("--use_subset", action="store_true")
+    p.add_argument("--subset_num", type=int, default=20)
+
+    # ---- blender_downX dataset options ----
+    p.add_argument("--rand_dir", action="store_true")
+    p.add_argument("--train_crop", action="store_true")
+
+    # ---- refine model / dataset options ----
+    p.add_argument("--refine_network", type=str, default="unetgenerator")
+    p.add_argument("--syn_dataroot", type=str, default=None)
+    p.add_argument("--refine_with_mse", action="store_true")
+    p.add_argument("--refine_with_l1", action="store_true")
+    p.add_argument("--refine_with_vgg", action="store_true")
+    p.add_argument("--refine_with_grad", action="store_true")
+    p.add_argument("--refine_as_gan", action="store_true")
+    p.add_argument("--num_ref_patches", type=int, default=8)
+    p.add_argument("--ref_offset", type=int, default=8)
+    p.add_argument("--aug_num", type=int, default=4)
+    p.add_argument("--with_gt_patch", action="store_true")
+    p.add_argument("--test_img_split", type=int, default=1)
+    p.add_argument("--learn_residual", action="store_true")
+
+    # ---- TPU-native additions ----
+    p.add_argument("--precision", type=str, default="mixed",
+                   choices=["f32", "bf16", "mixed"],
+                   help="mixed: bf16 MLP trunk, f32 heads/composite")
+    p.add_argument("--mesh_devices", type=int, default=0,
+                   help="devices in the data mesh (0 = all local devices)")
+    p.add_argument("--steps_per_epoch", type=int, default=0,
+                   help="override epoch length (0 = dataset_size/batch)")
+    p.add_argument("--log_every", type=int, default=100)
+
+    return p
+
+
+# dataset-mode -> default overrides (applied when the user did not pass the
+# flag explicitly). Parity with the modify_commandline_options set_defaults
+# calls cited in the module docstring.
+_DATASET_DEFAULTS = {
+    "blender": dict(white_bkgd=True, noise_std=0.0),
+    "blender_downX": dict(white_bkgd=True, noise_std=0.0),
+    "llff": dict(white_bkgd=False, noise_std=1.0),
+    "llff_downX": dict(white_bkgd=False, noise_std=1.0),
+    "llff_refine": dict(),
+    "template": dict(),
+}
+
+
+def parse_options(phase: str, argv=None):
+    """Parse argv into a flat options namespace (mirrors ``opt``)."""
+    parser = build_parser(phase)
+    opt = parser.parse_args(argv)
+
+    # dataset-driven default overrides: only when the flag was left at its
+    # parser default (white_bkgd uses default=None as the sentinel).
+    overrides = _DATASET_DEFAULTS.get(opt.dataset_mode, {})
+    if opt.white_bkgd is None:
+        opt.white_bkgd = overrides.get("white_bkgd", False)
+    if "--noise_std" not in (argv if argv is not None else os.sys.argv):
+        if "noise_std" in overrides:
+            opt.noise_std = overrides["noise_std"]
+
+    opt.isTrain = phase == "train"
+    opt.isTest = phase == "test"
+    opt.isInfer = phase == "infer"
+    if opt.suffix:
+        opt.name = opt.name + "_" + opt.suffix.format(**vars(opt))
+    return opt
+
+
+def save_options(opt, parser=None):
+    """Dump options to ``{phase}_opt.txt/.json``
+    (parity: ``options/base_options.py:103-129``)."""
+    expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
+    os.makedirs(expr_dir, exist_ok=True)
+    d = {k: v for k, v in sorted(vars(opt).items())}
+    lines = ["----------------- Options ---------------"]
+    for k, v in d.items():
+        lines.append(f"{str(k):>25}: {v}")
+    lines.append("----------------- End -------------------")
+    msg = "\n".join(lines)
+    with open(os.path.join(expr_dir, f"{opt.phase}_opt.txt"), "w") as f:
+        f.write(msg + "\n")
+    with open(os.path.join(expr_dir, f"{opt.phase}_opt.json"), "w") as f:
+        json.dump({k: (v if _jsonable(v) else str(v)) for k, v in d.items()},
+                  f)
+    return msg
+
+
+def _jsonable(v):
+    try:
+        json.dumps(v)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def default_options(phase: str = "train", **overrides):
+    """Build an options namespace programmatically (tests, bench, API use).
+
+    Equivalent to parsing an empty command line with required flags filled,
+    then applying ``overrides``.
+    """
+    argv = ["--name", overrides.pop("name", "exp"),
+            "--dataset_root", overrides.pop("dataset_root", "/tmp"),
+            "--img_wh",
+            *[str(x) for x in overrides.pop("img_wh", (64, 64))]]
+    opt = parse_options(phase, argv)
+    for k, v in overrides.items():
+        if not hasattr(opt, k):
+            raise KeyError(f"unknown option: {k}")
+        setattr(opt, k, v)
+    return opt

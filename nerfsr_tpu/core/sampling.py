@@ -1,0 +1,108 @@
+"""Stratified and hierarchical (inverse-CDF) sampling along rays.
+
+Pure JAX, explicit PRNG keys, static shapes — the whole block lives inside
+the jitted render step. Behavioral parity with ``models/utils.py:5-95`` of
+cwchenwang/NeRF-SR including its eps/denominator edge cases, but expressed
+with TPU-friendly vectorized searchsorted/gather instead of torch ops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cast_rays(origins: jnp.ndarray, directions: jnp.ndarray,
+              z_vals: jnp.ndarray) -> jnp.ndarray:
+    """Points ``o + t * d``. Parity: ``models/utils.py:5-14``.
+
+    origins/directions: (..., 3); z_vals: (..., S) -> (..., S, 3).
+    """
+    return origins[..., None, :] + z_vals[..., None] * directions[..., None, :]
+
+
+def sample_along_rays(key, origins, directions, near, far, num_samples: int,
+                      randomized: bool, lindisp: bool):
+    """Stratified coarse sampling. Parity: ``models/utils.py:17-44``.
+
+    Args:
+      key: PRNG key (may be None when randomized=False).
+      near/far: (..., 1).
+    Returns:
+      z_vals: (..., S); points: (..., S, 3).
+    """
+    dtype = origins.dtype
+    t_vals = jnp.linspace(0.0, 1.0, num_samples, dtype=dtype)
+    if lindisp:
+        z_vals = 1.0 / (1.0 / near * (1.0 - t_vals) + 1.0 / far * t_vals)
+    else:
+        z_vals = near * (1.0 - t_vals) + far * t_vals
+
+    if randomized:
+        z_mids = 0.5 * (z_vals[..., :-1] + z_vals[..., 1:])
+        upper = jnp.concatenate([z_mids, z_vals[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[..., :1], z_mids], axis=-1)
+        u = jax.random.uniform(key, z_vals.shape, dtype=dtype)
+        z_vals = lower + u * (upper - lower)
+
+    return z_vals, cast_rays(origins, directions, z_vals)
+
+
+def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray,
+               num_samples: int, randomized: bool) -> jnp.ndarray:
+    """Inverse-CDF sampling of ``num_samples`` new depths from a piecewise
+    PDF over ``bins``.
+
+    Parity with ``models/utils.py:61-92``: eps=1e-5 added to weights, CDF
+    zero-padded, searchsorted right, below/above clamping, and degenerate
+    bins (denom < eps) mapped to denom=1.
+
+    bins: (N, B); weights: (N, B-1) -> (N, num_samples).
+    """
+    eps = 1e-5
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+
+    n_rays, n_bins = bins.shape
+    if randomized:
+        u = jax.random.uniform(key, (n_rays, num_samples), dtype=bins.dtype)
+    else:
+        u = jnp.linspace(0.0, 1.0, num_samples, dtype=bins.dtype)
+        u = jnp.broadcast_to(u, (n_rays, num_samples))
+
+    # searchsorted(right) per ray; vmap lowers to a vectorized comparison
+    # network that tiles well on the VPU.
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, n_bins - 1)  # == N_samples_ in the reference
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < eps, 1.0, denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def resample_along_rays(key, origins, directions, z_vals, weights,
+                        num_samples: int, randomized: bool):
+    """Hierarchical fine resampling merged with the coarse depths.
+
+    Parity: ``models/utils.py:47-95`` — bins are coarse interval midpoints,
+    the first/last coarse weights are dropped, and the union of coarse and
+    new depths is sorted. ``weights`` must already be detached
+    (``jax.lax.stop_gradient``) by the caller, matching
+    ``models/nerf_model.py:229``.
+
+    z_vals: (N, S); weights: (N, S) -> z_vals: (N, S + num_samples).
+    """
+    bins = 0.5 * (z_vals[..., :-1] + z_vals[..., 1:])
+    inner_weights = weights[..., 1:-1]
+    z_new = sample_pdf(key, bins, inner_weights, num_samples, randomized)
+    z_vals = jnp.sort(jnp.concatenate([z_vals, z_new], axis=-1), axis=-1)
+    return z_vals, cast_rays(origins, directions, z_vals)

@@ -1,0 +1,223 @@
+"""Training/eval engine.
+
+The TPU re-architecture of the reference entry scripts (``train.py:35-148``,
+``test.py:37-53``): the epoch loop drives a single fully-jitted
+``train_step_from_buffer`` over a device-resident ray buffer; validation
+renders full images with a fixed-shape compiled chunk renderer; artifacts
+and scalars flow through ``nerfsr_tpu.utils.visualizer``.
+
+An "epoch" keeps the reference's meaning — ceil(N_rays / batch) steps, so
+LR-schedule epochs line up with ``scripts/*.sh`` configs — but batches are
+sampled i.i.d. on device instead of a shuffled host DataLoader pass.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfsr_tpu.data import create_dataset
+from nerfsr_tpu.models import create_model
+from nerfsr_tpu.parallel.mesh import make_mesh
+from nerfsr_tpu.utils import checkpoint as ckpt
+from nerfsr_tpu.utils.visualizer import (MetricsWriter, Visualizee,
+                                         depth2im, save_visuals)
+from nerfsr_tpu.models.criterions import psnr as psnr_fn
+
+
+def setup(opt):
+    """Seed + mesh + system (replaces ``utils/distributed.py:5-25`` — no
+    process groups; XLA owns the collectives)."""
+    np.random.seed(opt.seed)
+    n_dev = opt.mesh_devices or len(jax.devices())
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    system = create_model(opt)
+    if mesh is not None:
+        system.use_mesh(mesh)
+    return system, mesh
+
+
+def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
+    """Main training loop.
+
+    warmup_mode: e.g. 'train_crop' — draw the first ``warmup_iters`` steps
+    from that split instead (the blender precrop trick,
+    ``train_blender.py:77-82``).
+    """
+    system, mesh = setup(opt)
+    writer = MetricsWriter(opt.summary_dir, opt.name)
+
+    train_ds = create_dataset(opt, opt.train_split)
+    buffer_np = train_ds.ray_buffer()
+    n_rays = len(next(iter(buffer_np.values())))
+    steps_per_epoch = opt.steps_per_epoch or max(
+        1, int(np.ceil(n_rays / opt.batch_size)))
+    print(f"[train] {n_rays} rays, {steps_per_epoch} steps/epoch, "
+          f"{opt.n_epochs} epochs, mesh={mesh is not None}")
+
+    buffer = jax.tree_util.tree_map(jnp.asarray, buffer_np)
+    warm_buffer = None
+    if warmup_mode is not None:
+        warm_ds = create_dataset(opt, warmup_mode)
+        warm_buffer = jax.tree_util.tree_map(
+            jnp.asarray, warm_ds.ray_buffer())
+
+    val_ds = None
+    try:
+        val_ds = create_dataset(opt, opt.val_split)
+    except Exception as e:  # dataset may not provide this split
+        print(f"[train] no val split: {e}")
+
+    key = jax.random.PRNGKey(opt.seed)
+    state = system.create_state(key, steps_per_epoch)
+
+    start_epoch = 0
+    if opt.continue_train:
+        resume = (int(opt.load_epoch) if opt.load_epoch != "latest"
+                  else ckpt.find_resume_epoch(opt))
+        if resume is not None:
+            state = ckpt.load_checkpoint(opt, state, epoch=resume)
+            start_epoch = resume
+            print(f"[train] resumed from epoch {resume}")
+    state = ckpt.init_weights_from(opt, state, state)
+
+    global_step = int(state.step)
+    t_start = time.time()
+    rays_per_batch = _rays_per_batch(opt, buffer_np)
+
+    for epoch in range(start_epoch + 1, opt.n_epochs + 1):
+        t_epoch = time.time()
+        for it in range(steps_per_epoch):
+            use_warm = (warm_buffer is not None
+                        and global_step < warmup_iters)
+            src = warm_buffer if use_warm else buffer
+            state, losses = system.train_step_from_buffer(state, src, key)
+            global_step += 1
+            if global_step % opt.log_every == 0:
+                losses = jax.device_get(losses)
+                scal = {k: float(v) for k, v in losses.items()}
+                elapsed = time.time() - t_start
+                scal["rays_per_sec"] = (
+                    opt.log_every * rays_per_batch /
+                    max(elapsed - getattr(train, "_t_last", 0), 1e-9))
+                train._t_last = elapsed
+                writer.add_scalars(scal, global_step, prefix="train/")
+                print(f"[e{epoch} s{global_step}] " + " ".join(
+                    f"{k}={v:.4g}" for k, v in scal.items()))
+
+        print(f"[train] epoch {epoch} done in {time.time()-t_epoch:.1f}s")
+
+        if epoch % opt.save_epoch_freq == 0 or epoch == opt.n_epochs:
+            path = ckpt.save_checkpoint(opt, state, epoch)
+            print(f"[train] saved {path}")
+
+        if val_ds is not None and (epoch % opt.val_epoch_freq == 0
+                                   or epoch == opt.n_epochs):
+            metrics = validate(opt, system, state.params, val_ds,
+                               out_dir=_vis_dir(opt, epoch, "val"))
+            writer.add_scalars(metrics, global_step, prefix="val/")
+            print(f"[val e{epoch}] " + " ".join(
+                f"{k}={v:.4g}" for k, v in metrics.items()))
+
+    writer.close()
+    return state
+
+
+def _rays_per_batch(opt, buffer_np):
+    """HR rays evaluated per optimization step (for rays/sec)."""
+    r = buffer_np.get("origins")
+    if r is not None and r.ndim == 3:  # grouped (N_lr, ds^2, 3)
+        return opt.batch_size * r.shape[1]
+    return opt.batch_size
+
+
+def _vis_dir(opt, epoch, split):
+    import os
+    return os.path.join(opt.checkpoints_dir, opt.name,
+                        f"{epoch}_{split}_vis")
+
+
+def validate(opt, system, params, dataset, out_dir=None, max_images=None):
+    """Render every val image, log PSNR, dump side-by-side visuals
+    (parity: ``models/nerf_model.py:355-373`` validate)."""
+    n = len(dataset)
+    if max_images:
+        n = min(n, max_images)
+    coarse_psnr, fine_psnr = [], []
+    visuals = []
+    for i in range(n):
+        sample = dataset.image_rays(i)
+        out = system.render_image(params, sample)
+        gt = sample["rgbs"]
+        coarse_psnr.append(float(psnr_fn(out["coarse_rgb"], gt)))
+        fine_key = "fine_rgb" if "fine_rgb" in out else "coarse_rgb"
+        fine_psnr.append(float(psnr_fn(out[fine_key], gt)))
+        if out_dir is not None:
+            visuals.extend(_image_visuals(opt, dataset, out, gt, i))
+    if out_dir is not None and visuals:
+        save_visuals(visuals, out_dir)
+    return {"coarse_psnr": float(np.mean(coarse_psnr)),
+            "fine_psnr": float(np.mean(fine_psnr))}
+
+
+def _image_visuals(opt, dataset, out, gt, idx):
+    """coarse/fine [pred | gt | depth] strips (parity:
+    ``models/nerf_model.py:333-346`` calculate_vis)."""
+    w, h = opt.img_wh
+    near, far = dataset.depth_bounds
+    vis = []
+    for level in ("coarse", "fine"):
+        if f"{level}_rgb" not in out:
+            continue
+        img = out[f"{level}_rgb"].reshape(h, w, 3)
+        depth = depth2im(out[f"{level}_depth"].reshape(h, w), near,
+                         far).astype(np.float32) / 255.0
+        strip = np.concatenate([img, gt.reshape(h, w, 3), depth], axis=1)
+        vis.append(Visualizee("image", strip, name=f"{idx}-{level}",
+                              range=(0, 1)))
+    return vis
+
+
+def test(opt):
+    """Render the test split from a checkpoint (parity: ``test.py:37-53``)."""
+    import os
+
+    system, _ = setup(opt)
+    dataset = create_dataset(opt, opt.test_split)
+    state = system.create_state(jax.random.PRNGKey(0), steps_per_epoch=1)
+    state = ckpt.load_checkpoint(opt, state, epoch=opt.load_epoch)
+    out_dir = os.path.join(opt.results_dir, opt.name,
+                           f"{opt.test_split}_{opt.load_epoch}")
+    visuals = []
+    frames_coarse, frames_fine = [], []
+    w, h = opt.img_wh
+    near, far = dataset.depth_bounds
+    for i in range(len(dataset)):
+        sample = dataset.image_rays(i)
+        out = system.render_image(state.params, sample)
+        with_gt = "rgbs" in sample and sample["rgbs"] is not None
+        for level, frames in (("coarse", frames_coarse),
+                              ("fine", frames_fine)):
+            if f"{level}_rgb" not in out:
+                continue
+            img = out[f"{level}_rgb"].reshape(h, w, 3)
+            depth = depth2im(out[f"{level}_depth"].reshape(h, w), near,
+                             far).astype(np.float32) / 255.0
+            parts = [img]
+            if with_gt:
+                parts.append(sample["rgbs"].reshape(h, w, 3))
+            parts.append(depth)
+            strip = np.concatenate(parts, axis=1)
+            frames.append(strip)
+            visuals.append(Visualizee("image", strip, name=f"{i}-{level}"))
+    if frames_coarse:
+        visuals.append(Visualizee("gif", frames_coarse, name="coarse"))
+    if frames_fine:
+        visuals.append(Visualizee("gif", frames_fine, name="fine"))
+    save_visuals(visuals, out_dir)
+    print(f"[test] wrote {len(visuals)} artifacts to {out_dir}")
+    return out_dir

@@ -1,0 +1,109 @@
+"""The fused coarse->fine render pass.
+
+This is the TPU replacement for the reference hot loop
+(``models/nerf_model.py:207-240`` ``forward_rays`` plus the two-level
+``chunk_batch`` at ``models/nerf_model.py:201,245``): embed -> coarse MLP ->
+composite -> inverse-CDF resample -> fine MLP -> composite, for the whole
+ray batch, as ONE traced XLA program. No host round trips, no per-chunk
+kernel launches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nerfsr_tpu.core.encoding import positional_encoding
+from nerfsr_tpu.core.rays import Rays
+from nerfsr_tpu.core.rendering import add_gaussian_noise, volumetric_rendering
+from nerfsr_tpu.core.sampling import resample_along_rays, sample_along_rays
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render-path configuration (hashable: safe as a jit static)."""
+
+    n_coarse: int = 64             # --N_coarse
+    n_importance: int = 64         # --N_importance
+    deg_pos: int = 10              # --deg_pos
+    deg_dir: int = 4               # --deg_dir
+    include_identity: bool = True  # not --no_xyz
+    log_scale: bool = True         # not --no_logscale
+    lindisp: bool = False          # --lindisp
+    white_bkgd: bool = False       # --white_bkgd
+    noise_std: float = 0.0         # --noise_std
+    sigma_activation: str = "relu"  # --sigma_activation
+    use_dir: bool = True           # not --no_dir
+
+
+def render_rays(mlp, params_coarse, params_fine, rays: Rays,
+                key: Optional[jax.Array], cfg: RenderConfig,
+                randomized: bool) -> Dict[str, Any]:
+    """Render a flat bundle of rays through coarse (+fine) networks.
+
+    Args:
+      mlp: a ``VanillaMLP`` module (shared architecture; two param sets,
+        mirroring netCoarse/netFine in ``models/nerf_model.py:129-130``).
+      rays: Rays with leading shape (N,).
+      key: PRNG key (consumed for stratified jitter / resample / sigma
+        noise); may be None when randomized=False and noise_std == 0.
+      randomized: train-time stochastic sampling (the reference's
+        ``self.randomized``; eval forces False, ``models/nerf_model.py:183``).
+    Returns a dict with coarse_* (and fine_* when n_importance > 0) fields:
+      rgb (N, 3), depth (N,), opacity (N,), weights (N, S).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_coarse, k_resample, k_noise_c, k_noise_f = jax.random.split(key, 4)
+
+    dir_emb = None
+    if cfg.use_dir:
+        dir_emb = positional_encoding(
+            rays.viewdirs, cfg.deg_dir, cfg.include_identity, cfg.log_scale)
+
+    def run_level(params, points, z_vals, noise_key):
+        n, s, _ = points.shape
+        xyz_emb = positional_encoding(
+            points, cfg.deg_pos, cfg.include_identity, cfg.log_scale)
+        d_emb = None
+        if dir_emb is not None:
+            d_emb = jnp.broadcast_to(
+                dir_emb[:, None, :], (n, s, dir_emb.shape[-1]))
+        rgb, sigma = mlp.apply(params, xyz_emb, d_emb)
+        sigma = add_gaussian_noise(noise_key, sigma, randomized,
+                                   cfg.noise_std)
+        return volumetric_rendering(rgb, sigma, z_vals, cfg.white_bkgd,
+                                    cfg.sigma_activation)
+
+    z_vals, points = sample_along_rays(
+        k_coarse, rays.origins, rays.directions, rays.near, rays.far,
+        cfg.n_coarse, randomized, cfg.lindisp)
+    c_rgb, c_depth, c_opacity, c_weights = run_level(
+        params_coarse, points, z_vals, k_noise_c)
+
+    out = {
+        "coarse_rgb": c_rgb,
+        "coarse_depth": c_depth,
+        "coarse_opacity": c_opacity,
+        "coarse_weights": c_weights,
+    }
+
+    if cfg.n_importance > 0:
+        # stop_gradient on coarse weights: parity with the detach at
+        # models/nerf_model.py:229.
+        z_vals, points = resample_along_rays(
+            k_resample, rays.origins, rays.directions, z_vals,
+            jax.lax.stop_gradient(c_weights), cfg.n_importance, randomized)
+        f_rgb, f_depth, f_opacity, f_weights = run_level(
+            params_fine, points, z_vals, k_noise_f)
+        out.update({
+            "fine_rgb": f_rgb,
+            "fine_depth": f_depth,
+            "fine_opacity": f_opacity,
+            "fine_weights": f_weights,
+        })
+
+    return out

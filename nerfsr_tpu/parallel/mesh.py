@@ -1,0 +1,71 @@
+"""Device-mesh data parallelism.
+
+This module is the TPU-native replacement for the reference's ENTIRE
+parallelism stack (SURVEY.md §2.8): ``torch.nn.DataParallel`` scatter/
+gather (``models/networks.py:54-69``), DDP + NCCL process groups
+(``utils/distributed.py``, ``models/networks.py:72-86``) and the
+``DistributedSampler`` batch splitting (``data/__init__.py:95-133``).
+
+On TPU all of that collapses into a 1-D ``jax.sharding.Mesh`` over the ray
+batch: parameters are replicated, the batch is sharded on axis ``data``,
+and XLA inserts the gradient all-reduce (psum over ICI) automatically when
+the jitted loss reduces over the sharded axis. The same code path runs on
+1 chip, a v4-8 slice, or multi-host (via ``jax.distributed.initialize``).
+
+The NeRF batch has no sequence/tensor axes worth sharding (a 0.6M-param
+MLP; samples along a ray interact only through a length-192 prefix
+product), so batch-DP is the whole story — see SURVEY.md §5.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
+    """Create a 1-D data-parallel mesh over local (or given) devices."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices and n_devices > 0:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over the data mesh."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Optional[Mesh]):
+    """Constrain a pytree of (N, ...) arrays to be row-sharded over the mesh.
+
+    Called inside jit: XLA propagates the sharding through the whole render
+    step, so each chip evaluates its own slice of rays and only the scalar
+    loss / replicated grads communicate (psum over ICI).
+    """
+    if mesh is None or np.prod(mesh.devices.shape) == 1:
+        return batch
+    spec = P(DATA_AXIS)
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, spec)),
+        batch,
+    )
+
+
+def replicate(tree, mesh: Optional[Mesh]):
+    """Place a pytree fully replicated on the mesh (params/opt state)."""
+    if mesh is None:
+        return tree
+    sh = replicated_sharding(mesh)
+    return jax.device_put(tree, sh)

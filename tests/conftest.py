@@ -1,0 +1,21 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so
+multi-chip sharding paths run without TPU hardware (SURVEY.md §4).
+
+The environment's axon sitecustomize registers a TPU PJRT plugin at
+interpreter startup and sets ``jax_platforms=axon,cpu``; we override the
+config (backends are not initialized yet at conftest import time) and
+request 8 virtual host devices.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
