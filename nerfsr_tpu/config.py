@@ -184,20 +184,40 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
     p.add_argument("--rand_dir", action="store_true")
     p.add_argument("--train_crop", action="store_true")
 
-    # ---- refine model / dataset options ----
+    # ---- refine model options (models/refine_model.py:26-44) ----
     p.add_argument("--refine_network", type=str, default="unetgenerator")
-    p.add_argument("--syn_dataroot", type=str, default=None)
     p.add_argument("--refine_with_mse", action="store_true")
     p.add_argument("--refine_with_l1", action="store_true")
     p.add_argument("--refine_with_vgg", action="store_true")
     p.add_argument("--refine_with_grad", action="store_true")
+    p.add_argument("--lambda_refine_vgg", type=float, default=1.0)
+    p.add_argument("--lambda_refine_l1", type=float, default=1.0)
+    p.add_argument("--lambda_refine_mse", type=float, default=10.0)
+    p.add_argument("--lambda_refine_grad", type=float, default=1.0)
     p.add_argument("--refine_as_gan", action="store_true")
+    p.add_argument("--vgg_weights", type=str, default=None,
+                   help="npz from tools/convert_vgg.py (TPU-side VGG19)")
+
+    # ---- llff_refine dataset options (data/llff_refine_dataset.py:22-33)
+    p.add_argument("--syn_dataroot", type=str, default=None)
+    p.add_argument("--ref_idx", type=int, default=0)
+    p.add_argument("--aug_num", type=int, default=200)
+    p.add_argument("--distort_scale", type=float, default=0.3)
     p.add_argument("--num_ref_patches", type=int, default=8)
-    p.add_argument("--ref_offset", type=int, default=8)
-    p.add_argument("--aug_num", type=int, default=4)
     p.add_argument("--with_gt_patch", action="store_true")
-    p.add_argument("--test_img_split", type=int, default=1)
+    p.add_argument("--ref_offset", type=int, default=64)
+    p.add_argument("--data_num", type=int, default=500000)
+    p.add_argument("--test_img_split", type=int, default=4)
+
+    # ---- network options (models/networks.py) ----
     p.add_argument("--learn_residual", action="store_true")
+    p.add_argument("--input_nc", type=int, default=27)
+    p.add_argument("--output_nc", type=int, default=3)
+    p.add_argument("--norm", type=str, default="batch")
+    p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--ndf_dis", type=int, default=64)
+    p.add_argument("--n_layers_D", type=int, default=3)
+    p.add_argument("--not_use_ref", action="store_true")
 
     # ---- TPU-native additions ----
     p.add_argument("--precision", type=str, default="mixed",
@@ -220,7 +240,9 @@ _DATASET_DEFAULTS = {
     "blender_downX": dict(white_bkgd=True, noise_std=0.0),
     "llff": dict(white_bkgd=False, noise_std=1.0),
     "llff_downX": dict(white_bkgd=False, noise_std=1.0),
-    "llff_refine": dict(),
+    # llff_refine declares its own patch_len default of 64
+    # (data/llff_refine_dataset.py:22) vs the downX default of 32.
+    "llff_refine": dict(white_bkgd=False, noise_std=1.0, patch_len=64),
     "template": dict(),
 }
 
@@ -230,14 +252,17 @@ def parse_options(phase: str, argv=None):
     parser = build_parser(phase)
     opt = parser.parse_args(argv)
 
-    # dataset-driven default overrides: only when the flag was left at its
-    # parser default (white_bkgd uses default=None as the sentinel).
+    # dataset-driven default overrides, applied only for flags the user
+    # did not pass explicitly (reference set_defaults semantics).
+    raw = argv if argv is not None else os.sys.argv[1:]
+    explicit = {a.split("=")[0].lstrip("-") for a in raw
+                if a.startswith("--")}
     overrides = _DATASET_DEFAULTS.get(opt.dataset_mode, {})
     if opt.white_bkgd is None:
         opt.white_bkgd = overrides.get("white_bkgd", False)
-    if "--noise_std" not in (argv if argv is not None else os.sys.argv):
-        if "noise_std" in overrides:
-            opt.noise_std = overrides["noise_std"]
+    for key, val in overrides.items():
+        if key != "white_bkgd" and key not in explicit:
+            setattr(opt, key, val)
 
     opt.isTrain = phase == "train"
     opt.isTest = phase == "test"

@@ -25,8 +25,7 @@ from nerfsr_tpu.models import create_model
 from nerfsr_tpu.parallel.mesh import make_mesh
 from nerfsr_tpu.utils import checkpoint as ckpt
 from nerfsr_tpu.utils.visualizer import (MetricsWriter, Visualizee,
-                                         depth2im, save_visuals)
-from nerfsr_tpu.models.criterions import psnr as psnr_fn
+                                         save_visuals)
 
 
 def setup(opt):
@@ -147,43 +146,64 @@ def validate(opt, system, params, dataset, out_dir=None, max_images=None):
     n = len(dataset)
     if max_images:
         n = min(n, max_images)
-    coarse_psnr, fine_psnr = [], []
+    metrics = []
     visuals = []
     for i in range(n):
         sample = dataset.image_rays(i)
         out = system.render_image(params, sample)
-        gt = sample["rgbs"]
-        coarse_psnr.append(float(psnr_fn(out["coarse_rgb"], gt)))
-        fine_key = "fine_rgb" if "fine_rgb" in out else "coarse_rgb"
-        fine_psnr.append(float(psnr_fn(out[fine_key], gt)))
+        metrics.append(system.eval_metrics(out, sample))
         if out_dir is not None:
-            visuals.extend(_image_visuals(opt, dataset, out, gt, i))
+            visuals.extend(system.eval_visuals(
+                out, sample, i, with_gt=True,
+                depth_bounds=dataset.depth_bounds))
     if out_dir is not None and visuals:
         save_visuals(visuals, out_dir)
-    return {"coarse_psnr": float(np.mean(coarse_psnr)),
-            "fine_psnr": float(np.mean(fine_psnr))}
+    return {k: float(np.mean([m[k] for m in metrics]))
+            for k in metrics[0]}
 
 
-def _image_visuals(opt, dataset, out, gt, idx):
-    """coarse/fine [pred | gt | depth] strips (parity:
-    ``models/nerf_model.py:333-346`` calculate_vis)."""
-    w, h = opt.img_wh
-    near, far = dataset.depth_bounds
-    vis = []
-    for level in ("coarse", "fine"):
-        if f"{level}_rgb" not in out:
-            continue
-        img = out[f"{level}_rgb"].reshape(h, w, 3)
-        depth = depth2im(out[f"{level}_depth"].reshape(h, w), near,
-                         far).astype(np.float32) / 255.0
-        strip = np.concatenate([img, gt.reshape(h, w, 3), depth], axis=1)
-        vis.append(Visualizee("image", strip, name=f"{idx}-{level}",
-                              range=(0, 1)))
-    return vis
+def train_refine(opt):
+    """Refinement-stage training loop (parity surface:
+    ``train_refine.py:35-132``): host-sampled patch batches drive the
+    jitted CNN step; per-epoch checkpoints; patch-PSNR logging."""
+    system, _ = setup(opt)
+    writer = MetricsWriter(opt.summary_dir, opt.name)
+    dataset = create_dataset(opt, "train")
+    steps_per_epoch = opt.steps_per_epoch or max(
+        1, len(dataset) // opt.batch_size)
+    key = jax.random.PRNGKey(opt.seed)
+    state = system.create_state(key, steps_per_epoch)
+    d_state = system.create_gan_state(key) if opt.refine_as_gan else None
+
+    global_step = 0
+    for epoch in range(1, opt.n_epochs + 1):
+        t0 = time.time()
+        for _ in range(steps_per_epoch):
+            batch = dataset.sample_train_batch(opt.batch_size)
+            batch = jax.tree_util.tree_map(jnp.asarray, batch)
+            if d_state is not None:
+                state, d_state, losses = system.gan_train_step(
+                    state, d_state, batch, key)
+            else:
+                state, losses = system.train_step(state, batch, key)
+            global_step += 1
+            if global_step % opt.log_every == 0:
+                scal = {k: float(v) for k, v in
+                        jax.device_get(losses).items()}
+                writer.add_scalars(scal, global_step, prefix="train/")
+                print(f"[e{epoch} s{global_step}] " + " ".join(
+                    f"{k}={v:.4g}" for k, v in scal.items()))
+        print(f"[refine] epoch {epoch} done in {time.time()-t0:.1f}s")
+        if epoch % opt.save_epoch_freq == 0 or epoch == opt.n_epochs:
+            path = ckpt.save_checkpoint(opt, state, epoch)
+            print(f"[refine] saved {path}")
+    writer.close()
+    return state
 
 
-def test(opt):
-    """Render the test split from a checkpoint (parity: ``test.py:37-53``)."""
+def test_refine(opt):
+    """Refine + stitch every test image from a checkpoint (parity
+    surface: ``test_refine.py:9-25``)."""
     import os
 
     system, _ = setup(opt)
@@ -193,31 +213,55 @@ def test(opt):
     out_dir = os.path.join(opt.results_dir, opt.name,
                            f"{opt.test_split}_{opt.load_epoch}")
     visuals = []
-    frames_coarse, frames_fine = [], []
-    w, h = opt.img_wh
-    near, far = dataset.depth_bounds
+    metrics = []
+    for i in range(dataset.n_images()):
+        tiles = dataset.tiles_for_image(i)
+        refined, sr_img, gt_img = system.refine_image(state, tiles)
+        parts = [sr_img, refined] + ([gt_img] if gt_img is not None else [])
+        visuals.append(Visualizee(
+            "image", np.concatenate(parts, axis=1),
+            name=f"{i}-sr-refine", range=(-1, 1)))
+        if gt_img is not None:
+            metrics.append(system.eval_image_metrics(refined, sr_img,
+                                                     gt_img))
+    save_visuals(visuals, out_dir)
+    if metrics:
+        agg = {k: float(np.mean([m[k] for m in metrics]))
+               for k in metrics[0]}
+        print("[test_refine] " + " ".join(
+            f"{k}={v:.4g}" for k, v in agg.items()))
+    print(f"[test_refine] wrote {len(visuals)} artifacts to {out_dir}")
+    return out_dir
+
+
+def test(opt):
+    """Render the test split from a checkpoint (parity: ``test.py:37-53``;
+    downX artifacts include ``{i}-fine-ori.png`` / ``{i}-fine-depth-ori
+    .npz`` for the refinement stage)."""
+    import os
+
+    system, _ = setup(opt)
+    dataset = create_dataset(opt, opt.test_split)
+    state = system.create_state(jax.random.PRNGKey(0), steps_per_epoch=1)
+    state = ckpt.load_checkpoint(opt, state, epoch=opt.load_epoch)
+    out_dir = os.path.join(opt.results_dir, opt.name,
+                           f"{opt.test_split}_{opt.load_epoch}")
+    visuals = []
+    gif_frames = {}
     for i in range(len(dataset)):
         sample = dataset.image_rays(i)
         out = system.render_image(state.params, sample)
-        with_gt = "rgbs" in sample and sample["rgbs"] is not None
-        for level, frames in (("coarse", frames_coarse),
-                              ("fine", frames_fine)):
-            if f"{level}_rgb" not in out:
-                continue
-            img = out[f"{level}_rgb"].reshape(h, w, 3)
-            depth = depth2im(out[f"{level}_depth"].reshape(h, w), near,
-                             far).astype(np.float32) / 255.0
-            parts = [img]
-            if with_gt:
-                parts.append(sample["rgbs"].reshape(h, w, 3))
-            parts.append(depth)
-            strip = np.concatenate(parts, axis=1)
-            frames.append(strip)
-            visuals.append(Visualizee("image", strip, name=f"{i}-{level}"))
-    if frames_coarse:
-        visuals.append(Visualizee("gif", frames_coarse, name="coarse"))
-    if frames_fine:
-        visuals.append(Visualizee("gif", frames_fine, name="fine"))
+        with_gt = sample.get("rgbs") is not None
+        for v in system.eval_visuals(out, sample, i, with_gt=with_gt,
+                                     depth_bounds=dataset.depth_bounds):
+            visuals.append(v)
+            if v.kind == "image":
+                # accumulate per-level gif frames ('3-fine-ori' -> 'fine-ori')
+                level = v.name.split("-", 1)[1]
+                gif_frames.setdefault(level, []).append(v.data)
+    for level, frames in gif_frames.items():
+        if len(frames) > 1:
+            visuals.append(Visualizee("gif", frames, name=level))
     save_visuals(visuals, out_dir)
     print(f"[test] wrote {len(visuals)} artifacts to {out_dir}")
     return out_dir

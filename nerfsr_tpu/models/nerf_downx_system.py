@@ -1,0 +1,278 @@
+"""The NeRF-SR supersampling system (experiment type 'nerf_downX').
+
+Capability parity with ``models/nerf_downX_model.py`` of
+cwchenwang/NeRF-SR — the paper's core contribution. Each training item is
+one LOW-RES pixel carrying its ``downscale^2`` HIGH-RES sub-rays; all
+sub-rays render at HR and the HR predictions are averaged over the ds^2
+axis to form the LR prediction supervised by the LR ground truth
+(``comp_low_res_output``, reference :326-353). Optional sub-pixel color /
+depth variance regularizers (:332-336, :349-353) and SISR supervision
+(:364-367) are implemented as loss terms.
+
+TPU notes: the (B, ds^2, C) grouped batch flattens to one (B*ds^2) ray
+bundle — a single fused render per step; the subpixel mean is a free
+reshape+reduce that XLA fuses into the loss.
+
+The reference's auxiliary GAN patch training (``train_gan``, :572-594)
+and TV patch regularizer (``regularize_patch``, :596-618) are not used by
+any shipped script; the TV regularizer is available via
+``reg_patch_loss`` below, the GAN path is future work.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfsr_tpu.core.rays import Rays
+from nerfsr_tpu.models import register_model
+from nerfsr_tpu.models.criterions import psnr as psnr_fn
+from nerfsr_tpu.models.nerf_system import NeRFSystem, TrainState
+from nerfsr_tpu.parallel.mesh import shard_batch
+
+
+def subpixel_mean(x, ds2):
+    """(N*ds2, ...) -> (N, ...) mean over the ds^2 sub-pixel axis."""
+    return jnp.mean(x.reshape((-1, ds2) + x.shape[1:]), axis=1)
+
+
+def subpixel_var(x, ds2):
+    """Sum over pixels/channels of the unbiased variance across the ds^2
+    axis (parity with ``torch.var`` default unbiased=True, :332-336)."""
+    g = x.reshape((-1, ds2) + x.shape[1:])
+    return jnp.sum(jnp.var(g, axis=1, ddof=1))
+
+
+@register_model("nerf_downX")
+class NeRFDownXSystem(NeRFSystem):
+    """Supersampling NeRF: HR rays, LR supervision."""
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.ds = opt.downscale
+        self.ds2 = self.ds * self.ds
+        self.train_loss_names = ["coarse_mse", "fine_mse", "coarse_psnr",
+                                 "fine_psnr", "tot"]
+        if opt.use_var_loss:
+            self.train_loss_names += ["out_coarse_var", "out_fine_var"]
+        if opt.use_depth_var_loss:
+            self.train_loss_names += ["coarse_depth_var", "fine_depth_var"]
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+    def _flat_rays(self, batch) -> Rays:
+        """(B, ds^2, C) grouped fields -> flat (B*ds^2,) Rays. The dir
+        embedding consumes rays_d itself (8-col rays; reference :286)."""
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
+        return Rays(
+            origins=flat(batch["origins"]),
+            directions=flat(batch["directions"]),
+            near=flat(batch["near"]),
+            far=flat(batch["far"]),
+            viewdirs=flat(batch.get("viewdirs", batch["directions"])),
+        )
+
+    def _loss_fn(self, params, batch, key):
+        opt = self.opt
+        ds2 = self.ds2
+        rays = self._flat_rays(batch)
+        out = self.render(params, rays, key, randomized=True)
+
+        lr_rgbs = batch["rgbs"]                   # (B, 3)
+        losses: Dict[str, Any] = {}
+        loss_tot = 0.0
+
+        coarse_lr = subpixel_mean(out["coarse_rgb"], ds2)
+        coarse_mse = jnp.mean((coarse_lr - lr_rgbs) ** 2)
+        losses["coarse_mse"] = coarse_mse
+        loss_tot = loss_tot + coarse_mse * opt.lambda_coarse_mse
+
+        fine_lr = None
+        if "fine_rgb" in out:
+            fine_lr = subpixel_mean(out["fine_rgb"], ds2)
+            fine_mse = jnp.mean((fine_lr - lr_rgbs) ** 2)
+            losses["fine_mse"] = fine_mse
+            loss_tot = loss_tot + fine_mse * opt.lambda_fine_mse
+        else:
+            losses["fine_mse"] = jnp.zeros(())
+
+        # sub-pixel color variance regularizer (reference :332-336)
+        if opt.use_var_loss:
+            cv = subpixel_var(out["coarse_rgb"], ds2)
+            fv = subpixel_var(out["fine_rgb"], ds2) if fine_lr is not None \
+                else jnp.zeros(())
+            losses["out_coarse_var"] = cv
+            losses["out_fine_var"] = fv
+            loss_tot = loss_tot + opt.lambda_coarse_var * cv \
+                + opt.lambda_fine_var * fv
+
+        # sub-pixel depth variance regularizer, far-normalized (:349-353)
+        if opt.use_depth_var_loss:
+            far = batch["far"].reshape(-1)[0]
+            cdv = subpixel_var(out["coarse_depth"] / far, ds2)
+            fdv = subpixel_var(out["fine_depth"] / far, ds2) \
+                if "fine_depth" in out else jnp.zeros(())
+            losses["coarse_depth_var"] = cdv
+            losses["fine_depth_var"] = fdv
+            loss_tot = loss_tot + opt.lambda_coarse_depth_var * cdv \
+                + opt.lambda_fine_depth_var * fdv
+
+        # SISR supervision of the HR output (reference :364-367)
+        if "rgbs_sr" in batch:
+            sr = batch["rgbs_sr"].reshape(-1, batch["rgbs_sr"].shape[-1])
+            c_sr = jnp.mean((out["coarse_rgb"] - sr) ** 2)
+            f_sr = jnp.mean((out["fine_rgb"] - sr) ** 2) \
+                if "fine_rgb" in out else jnp.zeros(())
+            losses["coarse_mse_sr"] = c_sr
+            losses["fine_mse_sr"] = f_sr
+            loss_tot = loss_tot + c_sr + f_sr
+
+        losses["coarse_psnr"] = jax.lax.stop_gradient(
+            psnr_fn(coarse_lr, lr_rgbs))
+        losses["fine_psnr"] = jax.lax.stop_gradient(
+            psnr_fn(fine_lr, lr_rgbs)) if fine_lr is not None \
+            else jnp.zeros(())
+
+        # HR PSNR vs the HR ground truth when present (reference :386-388)
+        if "rgbs_ori" in batch:
+            hr = batch["rgbs_ori"].reshape(-1, 3)
+            losses["coarse_psnr_ori"] = jax.lax.stop_gradient(
+                psnr_fn(out["coarse_rgb"], hr))
+            if "fine_rgb" in out:
+                losses["fine_psnr_ori"] = jax.lax.stop_gradient(
+                    psnr_fn(out["fine_rgb"], hr))
+
+        losses["tot"] = loss_tot
+        return loss_tot, losses
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def reg_patch_step(self, state: TrainState, patch_batch, key):
+        """TV regularization step on rendered HR patches (capability of
+        the reference's ``regularize_patch``, :596-618): render a
+        contiguous patch's HR rays and minimize total variation."""
+        from nerfsr_tpu.models.criterions import tv_loss
+
+        patch_batch = shard_batch(patch_batch, self.mesh)
+        step_key = jax.random.fold_in(key, state.step)
+        side = self.opt.reg_patch_len * self.ds
+
+        def loss_fn(params):
+            rays = self._flat_rays(patch_batch)
+            out = self.render(params, rays, step_key, randomized=True)
+            loss = 0.0
+            for level in ("coarse_rgb", "fine_rgb"):
+                if level in out:
+                    img = out[level].reshape(1, side, side, -1)
+                    loss = loss + tv_loss(img)
+            loss = loss * self.opt.reg_lambda_tv
+            return loss, {"patch": loss}
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        import optax
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), losses
+
+    # ------------------------------------------------------------------
+    # evaluation: render HR, report both LR (subpixel mean) and HR (ori)
+    # ------------------------------------------------------------------
+    def render_image(self, params, rays_np, chunk=None):
+        """Render a full eval image from GROUPED rays (N_lr, ds^2, ...).
+
+        Returns both LR fields (subpixel-averaged) and ``*_ori`` HR fields
+        ungrouped to (H, W) scan order via ``unflatten_reshape`` parity
+        (reference :410-416) — flattened to (H*W, ...) rows.
+        """
+        ds2 = self.ds2
+        flat = {k: np.asarray(v).reshape((-1,) + np.asarray(v).shape[2:])
+                for k, v in rays_np.items()
+                if k in ("origins", "directions", "viewdirs", "near", "far")}
+        out = super().render_image(params, flat, chunk)
+        result = {}
+        n_lr = flat["origins"].shape[0] // ds2
+        for k, v in out.items():
+            grouped = v.reshape((n_lr, ds2) + v.shape[1:])
+            result[k] = grouped.mean(axis=1)
+            result[k + "_ori"] = self._ungroup(grouped)
+        return result
+
+    def eval_metrics(self, out, sample):
+        m = {"coarse_psnr": float(psnr_fn(out["coarse_rgb"],
+                                          sample["rgbs"]))}
+        m["fine_psnr"] = float(psnr_fn(out["fine_rgb"], sample["rgbs"])) \
+            if "fine_rgb" in out else m["coarse_psnr"]
+        if "rgbs_ori" in sample:
+            # _ori outputs are HR scan order; gt is grouped -> ungroup
+            hr = self._ungroup(sample["rgbs_ori"])
+            m["coarse_psnr_ori"] = float(psnr_fn(
+                out["coarse_rgb_ori"], hr))
+            if "fine_rgb_ori" in out:
+                m["fine_psnr_ori"] = float(psnr_fn(
+                    out["fine_rgb_ori"], hr))
+        return m
+
+    def eval_visuals(self, out, sample, idx, with_gt, depth_bounds):
+        """LR strips, HR '-ori' strips, and the depth matrices
+        ``{i}-{level}-depth[-ori].npz`` consumed by warp.py / the refine
+        dataset (parity: reference :621-669 test + :419-451
+        calculate_vis)."""
+        from nerfsr_tpu.utils.visualizer import Visualizee, depth2im
+
+        w, h = self.opt.img_wh
+        wl, hl = w // self.ds, h // self.ds
+        near, far = depth_bounds
+        vis = []
+        for level in ("coarse", "fine"):
+            if f"{level}_rgb" not in out:
+                continue
+            # LR strip
+            img = out[f"{level}_rgb"].reshape(hl, wl, 3)
+            depth = depth2im(out[f"{level}_depth"].reshape(hl, wl), near,
+                             far).astype(np.float32) / 255.0
+            parts = [img]
+            if with_gt and sample.get("rgbs") is not None:
+                parts.append(sample["rgbs"].reshape(hl, wl, 3))
+            parts.append(depth)
+            vis.append(Visualizee(
+                "image", np.concatenate(parts, 1), name=f"{idx}-{level}",
+                range=(0, 1)))
+            # HR (-ori) strip — `{i}-fine-ori.png` feeds the refinement
+            # stage (reference :655-661)
+            img_o = out[f"{level}_rgb_ori"].reshape(h, w, 3)
+            depth_o = depth2im(out[f"{level}_depth_ori"].reshape(h, w),
+                               near, far).astype(np.float32) / 255.0
+            parts = [img_o]
+            if with_gt and sample.get("rgbs_ori") is not None:
+                parts.append(self._ungroup(
+                    sample["rgbs_ori"]).reshape(h, w, 3))
+            parts.append(depth_o)
+            vis.append(Visualizee(
+                "image", np.concatenate(parts, 1),
+                name=f"{idx}-{level}-ori", range=(0, 1)))
+            # depth matrices (npz + colormap png)
+            vis.append(Visualizee(
+                "matrix", out[f"{level}_depth"].reshape(hl, wl),
+                name=f"{idx}-{level}-depth", range=(near, far)))
+            vis.append(Visualizee(
+                "matrix", out[f"{level}_depth_ori"].reshape(h, w),
+                name=f"{idx}-{level}-depth-ori", range=(near, far)))
+        return vis
+
+    def _ungroup(self, grouped):
+        """(N_lr, ds^2, ...) -> (H*W, ...) HR scan order (parity:
+        unflatten_reshape einops '(h1 w1)(s1 s2) c -> (h1 s1)(w1 s2) c')."""
+        w, h = self.opt.img_wh
+        ds = self.ds
+        h1, w1 = h // ds, w // ds
+        tail = grouped.shape[2:]
+        x = grouped.reshape((h1, w1, ds, ds) + tail)
+        x = np.moveaxis(x, 2, 1)  # (h1, ds, w1, ds, ...)
+        return x.reshape((h * w,) + tail)

@@ -219,17 +219,17 @@ class NeRFSystem:
         batch = jax.tree_util.tree_map(lambda x: x[idx], buffer)
         return self._train_step_impl(state, batch, render_key)
 
+    def _loss_fn(self, params, batch, key):
+        """Render + losses for one batch (overridable by subclasses)."""
+        rays = self._batch_to_rays(batch)
+        out = self.render(params, rays, key, randomized=True)
+        return self.compute_losses(out, batch)
+
     def _train_step_impl(self, state, batch, step_key):
         batch = shard_batch(batch, self.mesh)
 
-        def loss_fn(params):
-            rays = self._batch_to_rays(batch)
-            out = self.render(params, rays, step_key, randomized=True)
-            loss, losses = self.compute_losses(out, batch)
-            return loss, losses
-
         (_, losses), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            self._loss_fn, has_aux=True)(state.params, batch, step_key)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
@@ -247,6 +247,43 @@ class NeRFSystem:
         if "fine_rgb" in out:
             keep += ["fine_rgb", "fine_depth", "fine_opacity"]
         return {k: out[k] for k in keep}
+
+    # ------------------------------------------------------------------
+    # eval metrics / visuals (consumed by the engine loops)
+    # ------------------------------------------------------------------
+    def eval_metrics(self, out, sample):
+        """PSNR dict for one rendered image (parity names:
+        ``models/nerf_model.py:100``)."""
+        import numpy as np
+        gt = sample["rgbs"]
+        m = {"coarse_psnr": float(psnr_fn(out["coarse_rgb"], gt))}
+        m["fine_psnr"] = float(psnr_fn(out["fine_rgb"], gt)) \
+            if "fine_rgb" in out else m["coarse_psnr"]
+        return m
+
+    def eval_visuals(self, out, sample, idx, with_gt, depth_bounds):
+        """[pred | gt | depth] strips per level (parity:
+        ``models/nerf_model.py:333-346`` calculate_vis)."""
+        import numpy as np
+        from nerfsr_tpu.utils.visualizer import Visualizee, depth2im
+
+        w, h = self.opt.img_wh
+        near, far = depth_bounds
+        vis = []
+        for level in ("coarse", "fine"):
+            if f"{level}_rgb" not in out:
+                continue
+            img = out[f"{level}_rgb"].reshape(h, w, 3)
+            depth = depth2im(out[f"{level}_depth"].reshape(h, w), near,
+                             far).astype(np.float32) / 255.0
+            parts = [img]
+            if with_gt and sample.get("rgbs") is not None:
+                parts.append(sample["rgbs"].reshape(h, w, 3))
+            parts.append(depth)
+            vis.append(Visualizee(
+                "image", np.concatenate(parts, axis=1),
+                name=f"{idx}-{level}", range=(0, 1)))
+        return vis
 
     # ------------------------------------------------------------------
     # host-level eval (full images)

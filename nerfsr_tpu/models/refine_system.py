@@ -1,0 +1,290 @@
+"""Patch-refinement system (experiment type 'refine').
+
+Capability parity with ``models/refine_model.py`` of cwchenwang/NeRF-SR:
+a CNN refines NeRF-SR synthesized patches using nearby reference-view
+patches. ``--refine_network unetgenerator`` concatenates sr + ref patches
+channel-wise (:95-97); ``maxpoolingmodel`` passes them separately
+(:98-99). Losses mse/l1/vgg/grad gated by ``--refine_with_*`` flags
+(:151-168) with the reference's lambda defaults; PSNR of input vs refined
+logged. ``test`` tiles each image into patches, refines, stitches via
+start_locs and reports SSIM (:205-232).
+
+The optional GAN mode (``--refine_as_gan``, :102-139; lsgan + L1*100,
+pix2pix-style, not used by any shipped script) is provided via
+``gan_steps`` below with an NLayerDiscriminator.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerfsr_tpu.models import register_model
+from nerfsr_tpu.models.criterions import (VGGPerceptualLoss, gradient_loss,
+                                          l1 as l1_loss, psnr as psnr_fn,
+                                          ssim as ssim_fn)
+from nerfsr_tpu.models.networks import (MaxPoolingModel, NLayerDiscriminator,
+                                        UnetGenerator)
+from nerfsr_tpu.parallel.mesh import shard_batch
+from nerfsr_tpu.utils.schedule import make_jax_lr_schedule
+
+
+class RefineState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+@register_model("refine")
+class RefineSystem:
+    def __init__(self, opt):
+        self.opt = opt
+        if opt.refine_network == "unetgenerator":
+            self.net = UnetGenerator(learn_residual=opt.learn_residual)
+        elif opt.refine_network == "maxpoolingmodel":
+            self.net = MaxPoolingModel(use_ref=True)
+        else:
+            raise KeyError(f"unknown refine network {opt.refine_network}")
+        self.is_unet = opt.refine_network == "unetgenerator"
+        self.mesh = None
+        self.tx = None
+        self._steps_per_epoch = 1
+        self.vgg = VGGPerceptualLoss(
+            getattr(opt, "vgg_weights", None)) \
+            if opt.refine_with_vgg else None
+        self.train_loss_names = ["mse", "tot"]
+        for flag, name in (("refine_with_vgg", "vgg"),
+                           ("refine_with_l1", "l1"),
+                           ("refine_with_grad", "grad")):
+            if getattr(opt, flag):
+                self.train_loss_names.append(name)
+
+    def use_mesh(self, mesh):
+        self.mesh = mesh
+        return self
+
+    # ------------------------------------------------------------------
+    def _apply(self, variables, sr, refs, train):
+        """Dispatch by network type (reference forward, :94-99)."""
+        if self.is_unet:
+            n, k, h, w, c = refs.shape
+            stacked = jnp.concatenate(
+                [sr, refs.transpose(0, 2, 3, 1, 4).reshape(n, h, w, k * c)],
+                axis=-1)
+            return self.net.apply(variables, stacked, train=train,
+                                  mutable=["batch_stats"] if train else
+                                  False)
+        return self.net.apply(variables, sr, refs, train=train,
+                              mutable=["batch_stats"] if train else False)
+
+    def create_state(self, key, steps_per_epoch=None):
+        if steps_per_epoch:
+            self._steps_per_epoch = steps_per_epoch
+        opt = self.opt
+        plen = opt.patch_len
+        k = opt.num_ref_patches
+        sr = jnp.zeros((1, plen, plen, 3))
+        refs = jnp.zeros((1, k, plen, plen, 3))
+        if self.is_unet:
+            stacked = jnp.concatenate(
+                [sr, refs.transpose(0, 2, 3, 1, 4).reshape(
+                    1, plen, plen, k * 3)], -1)
+            variables = self.net.init(key, stacked, train=False)
+        else:
+            variables = self.net.init(key, sr, refs, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        sched = make_jax_lr_schedule(opt, self._steps_per_epoch)
+        self.tx = optax.chain(
+            optax.scale_by_adam(b1=opt.beta1, b2=0.999),
+            optax.scale_by_schedule(lambda s: -sched(s)))
+        return RefineState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=batch_stats, opt_state=self.tx.init(params))
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: RefineState, batch, key):
+        del key
+        opt = self.opt
+        batch = shard_batch(batch, self.mesh)
+
+        def loss_fn(params):
+            pred, mutated = self._apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["sr_patch"], batch["ref_patches"], train=True)
+            gt = batch["gt_patch"]
+            losses = {}
+            tot = 0.0
+            if opt.refine_with_mse:
+                mse = jnp.mean((pred - gt) ** 2) * opt.lambda_refine_mse
+                losses["mse"] = mse
+                tot = tot + mse
+            else:
+                losses["mse"] = jnp.mean((pred - gt) ** 2)
+            if opt.refine_with_l1:
+                l1 = l1_loss(pred, gt) * opt.lambda_refine_l1
+                losses["l1"] = l1
+                tot = tot + l1
+            if opt.refine_with_grad:
+                g = gradient_loss(pred, gt) * opt.lambda_refine_grad
+                losses["grad"] = g
+                tot = tot + g
+            if self.vgg is not None:
+                v = self.vgg(pred, gt) * opt.lambda_refine_vgg
+                losses["vgg"] = v
+                tot = tot + v
+            losses["tot"] = tot
+            losses["psnr_input"] = jax.lax.stop_gradient(
+                psnr_fn(batch["sr_patch"], gt))
+            losses["psnr_refine"] = jax.lax.stop_gradient(
+                psnr_fn(pred, gt))
+            return tot, (losses, mutated["batch_stats"])
+
+        (_, (losses, batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        return RefineState(step=state.step + 1, params=params,
+                           batch_stats=batch_stats,
+                           opt_state=opt_state), losses
+
+    def train_step_from_buffer(self, state, dataset, key):
+        """Host-sampled patch batch -> jitted step (the patch sampler is
+        cheap numpy cropping; the CNN step dominates)."""
+        batch = dataset.sample_train_batch(self.opt.batch_size)
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        return self.train_step(state, batch, key)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def predict(self, state: RefineState, sr, refs):
+        """Deterministic refinement of a patch batch (eval mode)."""
+        return self._apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            sr, refs, train=False)
+
+    # ------------------------------------------------------------------
+    # GAN refinement option (--refine_as_gan)
+    # ------------------------------------------------------------------
+    def create_gan_state(self, key):
+        """Discriminator params + optimizer (reference :89-95). The
+        reference conditions D on a never-set ``self.input`` attribute
+        (latent bug); here D sees the patch alone (input_nc=3)."""
+        self.netD = NLayerDiscriminator(patch_len=self.opt.patch_len)
+        variables = self.netD.init(
+            key, jnp.zeros((1, self.opt.patch_len, self.opt.patch_len, 3)))
+        self.txD = optax.adam(self.opt.gan_lr, b1=self.opt.beta1)
+        return {"params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {}),
+                "opt_state": self.txD.init(variables["params"])}
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def gan_train_step(self, state: RefineState, d_state, batch, key):
+        """One lsgan G+D update pair (reference backward_D/backward_G,
+        :106-131): D minimizes (D(gt)-1)^2 + D(G)^2, G minimizes
+        (D(G)-1)^2 + 100 * L1(G, gt)."""
+        del key
+        gt = batch["gt_patch"]
+
+        pred, mutated = self._apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["sr_patch"], batch["ref_patches"], train=True)
+        pred_sg = jax.lax.stop_gradient(pred)
+
+        def d_apply(p, bs, x):
+            return self.netD.apply({"params": p, "batch_stats": bs}, x,
+                                   update_stats=False)
+
+        def d_loss_fn(pd):
+            fake = d_apply(pd, d_state["batch_stats"], pred_sg)
+            real = d_apply(pd, d_state["batch_stats"], gt)
+            loss_fake = jnp.mean(fake ** 2)
+            loss_real = jnp.mean((real - 1.0) ** 2)
+            return 0.5 * (loss_fake + loss_real), (loss_real, loss_fake)
+
+        (_, (d_real, d_fake)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(d_state["params"])
+        d_updates, d_opt = self.txD.update(d_grads, d_state["opt_state"],
+                                           d_state["params"])
+        d_params = optax.apply_updates(d_state["params"], d_updates)
+
+        def g_loss_fn(params):
+            pred_g, mut = self._apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["sr_patch"], batch["ref_patches"], train=True)
+            fake = d_apply(d_params, d_state["batch_stats"], pred_g)
+            g_gan = jnp.mean((fake - 1.0) ** 2)
+            g_l1 = l1_loss(pred_g, gt) * 100.0
+            return g_gan + g_l1, (g_gan, g_l1, mut["batch_stats"])
+
+        (_, (g_gan, g_l1, batch_stats)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.params)
+        g_updates, opt_state = self.tx.update(g_grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, g_updates)
+
+        new_state = RefineState(step=state.step + 1, params=params,
+                                batch_stats=batch_stats,
+                                opt_state=opt_state)
+        new_d = {"params": d_params, "batch_stats": d_state["batch_stats"],
+                 "opt_state": d_opt}
+        losses = {"G_GAN": g_gan, "G_L1": g_l1, "D_real": d_real,
+                  "D_fake": d_fake}
+        return new_state, new_d, losses
+
+    # ------------------------------------------------------------------
+    def refine_image(self, state, tiles, batch=8):
+        """Refine all tiles of one image and stitch (reference test,
+        :205-232). Returns (refined, sr, gt_or_None) as (H, W, 3) in
+        (-1, 1)."""
+        w, h = [int(x) for x in tiles["wh"]]
+        plen = int(tiles["patch_len"])
+        n = tiles["sr_patch"].shape[0]
+        preds = []
+        for s in range(0, n, batch):
+            e = min(s + batch, n)
+            sr = tiles["sr_patch"][s:e]
+            refs = tiles["ref_patches"][s:e]
+            pad = batch - (e - s)
+            if pad:
+                sr = np.concatenate([sr, np.repeat(sr[-1:], pad, 0)])
+                refs = np.concatenate([refs, np.repeat(refs[-1:], pad, 0)])
+            out = np.asarray(self.predict(state, jnp.asarray(sr),
+                                          jnp.asarray(refs)))
+            preds.append(out[: e - s])
+        preds = np.concatenate(preds)
+
+        refined = np.zeros((h, w, 3), np.float32)
+        sr_img = np.zeros_like(refined)
+        gt_img = np.zeros_like(refined) if "gt_patch" in tiles else None
+        for p in range(n):
+            x, y = [int(v) for v in tiles["start_locs"][p]]
+            refined[y:y + plen, x:x + plen] = preds[p]
+            sr_img[y:y + plen, x:x + plen] = tiles["sr_patch"][p]
+            if gt_img is not None:
+                gt_img[y:y + plen, x:x + plen] = tiles["gt_patch"][p]
+        return refined, sr_img, gt_img
+
+    def eval_image_metrics(self, refined, sr_img, gt_img):
+        """SSIM of sr vs refined against gt, on (-1,1) images
+        (reference uses SSIM(data_range=(-1,1)), :63)."""
+        return {
+            "ssim_input": float(ssim_fn(
+                jnp.asarray(sr_img), jnp.asarray(gt_img), max_val=2.0)),
+            "ssim_refine": float(ssim_fn(
+                jnp.asarray(refined), jnp.asarray(gt_img), max_val=2.0)),
+            "psnr_input": float(psnr_fn(
+                jnp.asarray((sr_img + 1) / 2),
+                jnp.asarray((gt_img + 1) / 2))),
+            "psnr_refine": float(psnr_fn(
+                jnp.asarray((refined + 1) / 2),
+                jnp.asarray((gt_img + 1) / 2))),
+        }

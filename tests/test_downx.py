@@ -1,0 +1,168 @@
+"""Supersampling (downX) tests: grouping conventions, subpixel averaging,
+variance losses, end-to-end training + dual-resolution eval."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nerfsr_tpu.config import default_options
+from nerfsr_tpu.data import create_dataset
+from nerfsr_tpu.data.downx_common import group_subpixels, ungroup_subpixels
+from nerfsr_tpu.models import create_model
+from nerfsr_tpu.models.nerf_downx_system import subpixel_mean, subpixel_var
+
+
+@pytest.fixture(scope="module")
+def blender_scene(tmp_path_factory):
+    from tools.make_synthetic_scene import make_scene
+    d = tmp_path_factory.mktemp("blender_dx")
+    make_scene(str(d), hw=(24, 24), n_train=3, n_val=1, n_test=1)
+    return str(d)
+
+
+def dx_opt(scene, **kw):
+    base = dict(
+        model="nerf_downX", dataset_mode="blender_downX",
+        dataset_root=scene, img_wh=(24, 24), downscale=2, batch_size=16,
+        N_coarse=8, N_importance=8, D=2, W=32, deg_pos=4, deg_dir=2,
+        precision="f32", n_epochs=2, n_epochs_decay=1,
+        white_bkgd=True, noise_std=0.0)
+    base.update(kw)
+    return default_options("train", **base)
+
+
+class TestGrouping:
+    def test_round_trip(self):
+        rng = np.random.RandomState(0)
+        x = rng.rand(8, 12, 3).astype(np.float32)
+        g = group_subpixels(x, 2)
+        assert g.shape == (4 * 6, 4, 3)
+        np.testing.assert_array_equal(ungroup_subpixels(g, (8, 12), 2), x)
+
+    def test_block_order_matches_reference_einops(self):
+        # '(h s1) (w s2) c -> (h w) (s1 s2) c': block (0,0) holds pixels
+        # [(0,0),(0,1),(1,0),(1,1)] in row-major order
+        x = np.arange(4 * 4).reshape(4, 4, 1)
+        g = group_subpixels(x, 2)
+        np.testing.assert_array_equal(g[0, :, 0], [0, 1, 4, 5])
+        np.testing.assert_array_equal(g[1, :, 0], [2, 3, 6, 7])
+
+    def test_subpixel_mean_var(self):
+        rng = np.random.RandomState(1)
+        x = rng.rand(6 * 4, 3).astype(np.float32)  # 6 LR px, ds2=4
+        m = np.asarray(subpixel_mean(jnp.asarray(x), 4))
+        np.testing.assert_allclose(m, x.reshape(6, 4, 3).mean(1),
+                                   rtol=1e-6)
+        v = float(subpixel_var(jnp.asarray(x), 4))
+        np.testing.assert_allclose(
+            v, x.reshape(6, 4, 3).var(1, ddof=1).sum() *
+            0 + np.sum(np.var(x.reshape(6, 4, 3), axis=1, ddof=1)),
+            rtol=1e-5)
+
+
+class TestDownXDataset:
+    def test_buffer_shapes(self, blender_scene):
+        opt = dx_opt(blender_scene)
+        ds = create_dataset(opt, "train")
+        buf = ds.ray_buffer()
+        n_lr = 3 * (24 // 2) * (24 // 2)
+        assert buf["origins"].shape == (n_lr, 4, 3)
+        assert buf["rgbs"].shape == (n_lr, 3)
+        assert buf["rgbs_ori"].shape == (n_lr, 4, 3)
+
+    def test_lr_gt_is_block_mean_with_avg(self, blender_scene):
+        opt = dx_opt(blender_scene, ds_method="avg")
+        buf = create_dataset(opt, "train").ray_buffer()
+        np.testing.assert_allclose(
+            buf["rgbs"], buf["rgbs_ori"].mean(1), atol=1e-5)
+
+    def test_subray_geometry(self, blender_scene):
+        # the 4 sub-rays of one LR pixel share an origin and have close
+        # but distinct directions
+        opt = dx_opt(blender_scene)
+        buf = create_dataset(opt, "train").ray_buffer()
+        o = buf["origins"][0]
+        np.testing.assert_allclose(o, np.broadcast_to(o[0], o.shape),
+                                   atol=1e-6)
+        d = buf["directions"][0]
+        assert not np.allclose(d[0], d[1])
+        assert np.dot(d[0], d[1]) > 0.99  # nearly parallel
+
+    def test_train_crop_is_quarter(self, blender_scene):
+        opt = dx_opt(blender_scene, precrop_frac=0.5)
+        full = create_dataset(opt, "train").ray_buffer()
+        crop = create_dataset(opt, "train_crop").ray_buffer()
+        assert len(crop["rgbs"]) == len(full["rgbs"]) // 4
+
+
+class TestDownXSystem:
+    def test_train_descends_and_var_losses(self, blender_scene):
+        opt = dx_opt(blender_scene, use_var_loss=True,
+                     use_depth_var_loss=True)
+        sys_ = create_model(opt)
+        ds = create_dataset(opt, "train")
+        buffer = jax.tree_util.tree_map(jnp.asarray, ds.ray_buffer())
+        state = sys_.create_state(jax.random.PRNGKey(0), steps_per_epoch=50)
+        key = jax.random.PRNGKey(1)
+        first = None
+        for _ in range(25):
+            state, losses = sys_.train_step_from_buffer(state, buffer, key)
+            if first is None:
+                first = float(losses["fine_mse"])
+        assert np.isfinite(float(losses["tot"]))
+        assert float(losses["fine_mse"]) < first
+        for name in ("out_coarse_var", "out_fine_var", "coarse_depth_var",
+                     "fine_depth_var", "coarse_psnr_ori", "fine_psnr_ori"):
+            assert name in losses and np.isfinite(float(losses[name]))
+
+    def test_eval_dual_resolution(self, blender_scene):
+        opt = dx_opt(blender_scene)
+        sys_ = create_model(opt)
+        state = sys_.create_state(jax.random.PRNGKey(0), steps_per_epoch=10)
+        val = create_dataset(opt, "val")
+        sample = val.image_rays(0)
+        out = sys_.render_image(state.params, sample, chunk=256)
+        hl = wl = 12
+        assert out["fine_rgb"].shape == (hl * wl, 3)
+        assert out["fine_rgb_ori"].shape == (24 * 24, 3)
+        assert out["fine_depth_ori"].shape == (24 * 24,)
+        m = sys_.eval_metrics(out, sample)
+        assert "fine_psnr_ori" in m and np.isfinite(m["fine_psnr_ori"])
+        vis = sys_.eval_visuals(out, sample, 0, True, val.depth_bounds)
+        names = [v.name for v in vis]
+        assert "0-fine-ori" in names
+        assert "0-fine-depth-ori" in names  # the warp.py input artifact
+
+    def test_ungroup_matches_common(self, blender_scene):
+        opt = dx_opt(blender_scene)
+        sys_ = create_model(opt)
+        rng = np.random.RandomState(2)
+        g = rng.rand(12 * 12, 4, 3).astype(np.float32)
+        np.testing.assert_array_equal(
+            sys_._ungroup(g),
+            ungroup_subpixels(g, (24, 24), 2).reshape(-1, 3))
+
+    def test_reg_patch_step(self, blender_scene):
+        opt = dx_opt(blender_scene, reg_patch_len=3)
+        sys_ = create_model(opt)
+        state = sys_.create_state(jax.random.PRNGKey(0), steps_per_epoch=10)
+        # build one fake grouped patch batch (plen^2 LR px)
+        rng = np.random.RandomState(3)
+        n = 9
+        d = rng.randn(n, 4, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        batch = {
+            "origins": jnp.asarray(rng.randn(n, 4, 3).astype(np.float32)),
+            "directions": jnp.asarray(d),
+            "near": jnp.full((n, 4, 1), 2.0),
+            "far": jnp.full((n, 4, 1), 6.0),
+        }
+        state, losses = sys_.reg_patch_step(state, batch,
+                                            jax.random.PRNGKey(4))
+        assert np.isfinite(float(losses["patch"]))

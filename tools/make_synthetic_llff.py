@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Generate a tiny synthetic LLFF-format scene (COLMAP binaries + images).
+
+Forward-facing cameras on a small grid render the analytic blob field from
+``make_synthetic_scene``; the COLMAP sparse model (cameras.bin /
+images.bin / points3D.bin) is written with our own writer, so loading it
+exercises the full parser + pose pipeline end to end.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nerfsr_tpu.data.colmap import (Camera, ColmapImage, Point3D,
+                                    rotmat2qvec, write_cameras_binary,
+                                    write_images_binary,
+                                    write_points3d_binary)
+from tools.make_synthetic_scene import BLOBS, render_view
+
+
+def nerf_pose(eye, target):
+    """c2w in NeRF convention (right, up, back; looks along -z)."""
+    forward = target - eye
+    forward = forward / np.linalg.norm(forward)
+    z = -forward
+    up = np.array([0.0, 1.0, 0.0])
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z, eye], 1)
+
+
+def make_llff_scene(out_dir, hw=(40, 40), n_imgs=6, seed=0):
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    focal = 45.0
+    sparse = os.path.join(out_dir, "sparse/0")
+    os.makedirs(sparse, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
+
+    cams = [Camera(1, "SIMPLE_PINHOLE", w, h,
+                   np.array([focal, w / 2, h / 2], float))]
+    write_cameras_binary(cams, os.path.join(sparse, "cameras.bin"))
+
+    # forward-facing rig: cameras at z ~ +4 with small lateral offsets,
+    # all looking at the origin region.
+    images = []
+    poses = []
+    for i in range(n_imgs):
+        eye = np.array([
+            (i % 3 - 1) * 0.6 + rng.randn() * 0.05,
+            (i // 3 - 0.5) * 0.5 + rng.randn() * 0.05,
+            4.0 + rng.randn() * 0.1])
+        c2w = nerf_pose(eye, np.zeros(3))
+        poses.append(c2w)
+        img = render_view(c2w, hw, focal, near=2.0, far=6.5)
+        name = f"img_{i:03d}.png"
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, "images", name))
+
+        # NeRF c2w -> COLMAP w2c (x right, y down, z forward)
+        colmap_c2w_r = np.stack(
+            [c2w[:, 0], -c2w[:, 1], -c2w[:, 2]], 1)
+        R = colmap_c2w_r.T
+        t = -R @ c2w[:, 3]
+        images.append(ColmapImage(
+            i + 1, rotmat2qvec(R), t, 1, name))
+
+    # 3D points sampled inside the blobs, visible from all images
+    pts = []
+    pid = 1
+    for c, r, col, _ in BLOBS:
+        for _ in range(40):
+            xyz = c + rng.randn(3) * (r / 3)
+            pts.append(Point3D(
+                pid, xyz, (np.asarray(col) * 255).astype(np.uint8), 0.1,
+                np.arange(1, n_imgs + 1, dtype=np.int32),
+                np.zeros(n_imgs, np.int32)))
+            pid += 1
+    write_images_binary(images, os.path.join(sparse, "images.bin"))
+    write_points3d_binary(pts, os.path.join(sparse, "points3D.bin"))
+    return out_dir
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("out_dir")
+    p.add_argument("--hw", type=int, nargs=2, default=[40, 40])
+    p.add_argument("--n_imgs", type=int, default=6)
+    args = p.parse_args()
+    make_llff_scene(args.out_dir, tuple(args.hw), args.n_imgs)
+    print(f"llff scene written to {args.out_dir}")
