@@ -1,0 +1,212 @@
+"""Refinement stage + depth-warp tests."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nerfsr_tpu.config import default_options
+from nerfsr_tpu.ops.warp import (ndc_depth_to_metric, ref_world_to_cam,
+                                 warp_view)
+
+
+class TestWarp:
+    def test_ndc_depth_inverse(self):
+        z = np.array([1.5, 2.0, 10.0])
+        d_ndc = 1.0 - 1.0 / z
+        np.testing.assert_allclose(ndc_depth_to_metric(d_ndc), z,
+                                   rtol=1e-4)
+
+    def test_identity_warp_maps_to_self(self):
+        w, h, f = 16, 12, 20.0
+        c2w = np.concatenate([np.eye(3), np.zeros((3, 1))],
+                             1).astype(np.float32)
+        ref_w2c = ref_world_to_cam(c2w)
+        z = 4.0
+        depth_ndc = np.full((h, w), 1.0 - 1.0 / z, np.float32)
+        ref_rgb = np.random.RandomState(0).rand(h, w, 3).astype(np.float32)
+        locs, warped = warp_view(depth_ndc, c2w, ref_w2c, ref_rgb, f,
+                                 (w, h), ndc_depth=True)
+        ii, jj = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+        np.testing.assert_allclose(locs[..., 0], ii, atol=1e-3)
+        np.testing.assert_allclose(locs[..., 1], jj, atol=1e-3)
+        np.testing.assert_allclose(warped, ref_rgb, atol=1e-5)
+
+    def test_translation_disparity(self):
+        # ref camera shifted +x by b: expected disparity dx = -b*f/z
+        w, h, f, b, z = 32, 32, 30.0, 0.5, 4.0
+        c2w = np.concatenate([np.eye(3), np.zeros((3, 1))],
+                             1).astype(np.float32)
+        ref_c2w = c2w.copy()
+        ref_c2w[0, 3] = b
+        ref_w2c = ref_world_to_cam(ref_c2w)
+        depth = np.full((h, w), z, np.float32)
+        ref_rgb = np.zeros((h, w, 3), np.float32)
+        locs, _ = warp_view(depth, c2w, ref_w2c, ref_rgb, f, (w, h),
+                            ndc_depth=False)
+        ii = np.arange(w)
+        expected = np.floor(ii + 0.5 - b * f / z)
+        np.testing.assert_allclose(locs[5, :, 0], expected, atol=1e-3)
+
+    def test_generate_correspondences(self, tmp_path):
+        from tools.make_synthetic_llff import make_llff_scene
+        from nerfsr_tpu.ops.warp import generate_correspondences
+
+        scene = str(tmp_path / "scene")
+        make_llff_scene(scene, hw=(24, 24), n_imgs=3)
+        result = str(tmp_path / "res")
+        os.makedirs(result)
+        rng = np.random.RandomState(1)
+        for i in range(3):
+            np.savez(os.path.join(result, f"{i}-fine-depth-ori.npz"),
+                     matrix=rng.rand(24, 24).astype(np.float32) * 0.5)
+        written = generate_correspondences(scene, result, (24, 24))
+        assert written == [0, 1, 2]
+        z = np.load(os.path.join(result, "0_locs.npz"))
+        locs = z[list(z.keys())[0]]
+        assert locs.shape == (24, 24, 3)
+        assert os.path.exists(os.path.join(result, "1-wrapped.png"))
+
+
+def refine_opt(**kw):
+    base = dict(
+        model="refine", dataset_mode="llff_refine", patch_len=64,
+        batch_size=2, num_ref_patches=2, n_epochs=1, n_epochs_decay=0,
+        refine_with_l1=True, lr=1e-3)
+    base.update(kw)
+    return default_options("train", **base)
+
+
+class TestRefineNetworks:
+    def test_unet_shapes_and_residual(self):
+        from nerfsr_tpu.models.networks import UnetGenerator
+
+        net = UnetGenerator(learn_residual=False)
+        x = jnp.zeros((1, 64, 64, 9))
+        variables = net.init(jax.random.PRNGKey(0), x, train=False)
+        y = net.apply(variables, x, train=False)
+        assert y.shape == (1, 64, 64, 3)
+        assert float(jnp.abs(y).max()) <= 1.0  # tanh
+
+    def test_maxpooling_permutation_invariant(self):
+        from nerfsr_tpu.models.networks import MaxPoolingModel
+
+        net = MaxPoolingModel(use_ref=True)
+        rng = np.random.RandomState(0)
+        sr = jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)
+        refs = jnp.asarray(rng.rand(1, 3, 32, 32, 3), jnp.float32)
+        variables = net.init(jax.random.PRNGKey(0), sr, refs, train=False)
+        y1 = net.apply(variables, sr, refs, train=False)
+        y2 = net.apply(variables, sr, refs[:, ::-1], train=False)
+        assert y1.shape == (1, 32, 32, 3)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   atol=1e-5)
+
+    def test_discriminator_shapes(self):
+        from nerfsr_tpu.models.networks import NLayerDiscriminator
+
+        for plen in (32, 64):
+            net = NLayerDiscriminator(patch_len=plen)
+            x = jnp.zeros((2, plen, plen, 3))
+            variables = net.init(jax.random.PRNGKey(0), x)
+            y = net.apply(variables, x)
+            assert y.shape == (2, 1, 1, 1)
+
+
+class TestRefineSystem:
+    def _batch(self, rng, n=2, plen=64, k=2):
+        gt = rng.rand(n, plen, plen, 3).astype(np.float32) * 2 - 1
+        sr = np.clip(gt + rng.randn(n, plen, plen, 3).astype(
+            np.float32) * 0.1, -1, 1)
+        refs = np.repeat(gt[:, None], k, axis=1)
+        return {"sr_patch": jnp.asarray(sr),
+                "ref_patches": jnp.asarray(refs),
+                "gt_patch": jnp.asarray(gt)}
+
+    def test_unet_train_step_descends(self):
+        from nerfsr_tpu.models import create_model
+
+        opt = refine_opt()
+        sys_ = create_model(opt)
+        state = sys_.create_state(jax.random.PRNGKey(0), steps_per_epoch=50)
+        rng = np.random.RandomState(0)
+        batch = self._batch(rng)
+        key = jax.random.PRNGKey(1)
+        first = None
+        for _ in range(8):
+            state, losses = sys_.train_step(state, batch, key)
+            if first is None:
+                first = float(losses["l1"])
+        assert float(losses["l1"]) < first
+        assert "psnr_refine" in losses
+
+    def test_maxpooling_predict_shape(self):
+        from nerfsr_tpu.models import create_model
+
+        opt = refine_opt(refine_network="maxpoolingmodel")
+        sys_ = create_model(opt)
+        state = sys_.create_state(jax.random.PRNGKey(0), steps_per_epoch=10)
+        batch = self._batch(np.random.RandomState(1))
+        pred = sys_.predict(state, batch["sr_patch"],
+                            batch["ref_patches"])
+        assert pred.shape == (2, 64, 64, 3)
+
+
+class TestRefineDataset:
+    @pytest.fixture(scope="class")
+    def setup_scene(self, tmp_path_factory):
+        """Synthetic llff scene + fake synthesized artifacts + locs."""
+        from tools.make_synthetic_llff import make_llff_scene
+        from PIL import Image
+
+        d = tmp_path_factory.mktemp("refine")
+        scene = str(d / "scene")
+        make_llff_scene(scene, hw=(96, 96), n_imgs=3)
+        syn = str(d / "syn")
+        os.makedirs(syn)
+        rng = np.random.RandomState(0)
+        for i in range(3):
+            img = (rng.rand(96, 96, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(syn, f"{i}-fine-ori.png"))
+            locs = np.stack(np.meshgrid(np.arange(96), np.arange(96),
+                                        indexing="xy"), -1).astype(
+                np.float32)
+            locs = np.concatenate(
+                [locs, -np.ones((96, 96, 1), np.float32)], -1)
+            np.savez(os.path.join(syn, f"{i}_locs.npz"), locs)
+        return scene, syn
+
+    def test_train_sampling(self, setup_scene):
+        from nerfsr_tpu.data import create_dataset
+
+        scene, syn = setup_scene
+        opt = refine_opt(dataset_root=scene, syn_dataroot=syn,
+                         img_wh=(96, 96), patch_len=32, aug_num=3)
+        ds = create_dataset(opt, "train")
+        batch = ds.sample_train_batch(4)
+        assert batch["sr_patch"].shape == (4, 32, 32, 3)
+        assert batch["ref_patches"].shape == (4, 2, 32, 32, 3)
+        assert batch["gt_patch"].shape == (4, 32, 32, 3)
+        assert batch["sr_patch"].min() >= -1 and batch["sr_patch"].max() <= 1
+
+    def test_tiles_cover_image(self, setup_scene):
+        from nerfsr_tpu.data import create_dataset
+
+        scene, syn = setup_scene
+        opt = refine_opt(dataset_root=scene, syn_dataroot=syn,
+                         img_wh=(96, 96), patch_len=32)
+        ds = create_dataset(opt, "test_train")
+        tiles = ds.tiles_for_image(0)
+        assert tiles["sr_patch"].shape == (9, 32, 32, 3)
+        # stitching the sr patches back must reproduce the sr image
+        stitched = np.zeros((96, 96, 3), np.float32)
+        for p in range(9):
+            x, y = tiles["start_locs"][p]
+            stitched[y:y + 32, x:x + 32] = tiles["sr_patch"][p]
+        np.testing.assert_allclose(stitched, ds.sr_imgs[0], atol=1e-6)
