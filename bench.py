@@ -56,15 +56,17 @@ def main():
     }
     key = jax.random.PRNGKey(0)
 
-    # warmup / compile
-    state, losses = system.train_step_from_buffer(state, buffer, key)
-    jax.block_until_ready(losses)
-
+    # warmup / compile (scan folds the whole step chain into one program,
+    # amortizing dispatch; the scalar float() readback forces real
+    # device-side completion — block_until_ready alone is unreliable on
+    # the axon tunnel).
     n_steps = 50
+    state, losses = system.train_steps_scan(state, buffer, n_steps, key)
+    assert float(losses["tot"]) > 0
+
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, losses = system.train_step_from_buffer(state, buffer, key)
-    jax.block_until_ready(losses)
+    state, losses = system.train_steps_scan(state, buffer, n_steps, key)
+    assert float(losses["tot"]) > 0
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_steps * n_hr_rays / dt

@@ -228,6 +228,18 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
     p.add_argument("--steps_per_epoch", type=int, default=0,
                    help="override epoch length (0 = dataset_size/batch)")
     p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--use_pallas", action="store_true",
+                   help="fused Pallas compositing kernel (TPU)")
+    p.add_argument("--use_pallas_mlp", action="store_true",
+                   help="fully-fused Pallas MLP megakernel (TPU; "
+                        "default architecture only)")
+    p.add_argument("--pallas_interpret", action="store_true",
+                   help="run Pallas kernels in interpreter mode (CPU)")
+    p.add_argument("--scan_steps", type=int, default=0,
+                   help="fold N optimization steps into one compiled "
+                        "lax.scan program (amortizes dispatch; 0 = off)")
+    p.add_argument("--profile_port", type=int, default=0,
+                   help="start a jax.profiler server on this port")
 
     return p
 

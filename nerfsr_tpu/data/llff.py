@@ -246,17 +246,79 @@ class LLFFDataset:
         """All training rays (val view excluded unless --include_var,
         parity: :289-291) as a flat struct-of-arrays buffer."""
         assert self.mode == "train"
+        w, h = self.img_wh
+        keep = [i for i in range(len(self.image_paths))
+                if self.opt.include_var or i != self.val_idx]
+
+        from nerfsr_tpu import native
+        if native.available() and not self.spheric:
+            # multithreaded C++ builder (nerfsr_tpu/native/raygen.cpp)
+            origins, dirs = native.build_rays(
+                self.poses[keep], h, w, self.focal,
+                self.opt.use_pixel_centers, apply_ndc=True)
+            origins = origins.reshape(-1, 3)
+            dirs = dirs.reshape(-1, 3)
+            near, far = self._near_far()
+            n = origins.shape[0]
+            rgbs = np.concatenate([
+                load_image(self.image_paths[i], self.img_wh)
+                .reshape(-1, 3) for i in keep]).astype(np.float32)
+            return {
+                "origins": origins,
+                "directions": dirs,
+                "viewdirs": dirs,
+                "near": np.full((n, 1), near, np.float32),
+                "far": np.full((n, 1), far, np.float32),
+                "rgbs": rgbs,
+            }
+
         parts = {k: [] for k in ("origins", "directions", "viewdirs",
                                  "near", "far", "rgbs")}
-        for i, path in enumerate(self.image_paths):
-            if i == self.val_idx and not self.opt.include_var:
-                continue
+        for i in keep:
             rays = self._pose_rays(self.poses[i])
-            img = load_image(path, self.img_wh).reshape(-1, 3)
+            img = load_image(self.image_paths[i],
+                             self.img_wh).reshape(-1, 3)
             rays["rgbs"] = img.astype(np.float32)
             for k in parts:
                 parts[k].append(rays[k])
         return {k: np.concatenate(v) for k, v in parts.items()}
+
+    def ref_buffer(self, downscale=None):
+        """HR rays + rgbs of the reference view (index --ref_idx==0) at
+        ``img_wh * downscale`` resolution for the --with_ref loss
+        (parity: ``data/llff_dataset.py:290-312``)."""
+        ds = downscale or self.opt.downscale
+        w, h = self.img_wh
+        wh_hr = (w * ds, h * ds)
+        focal_hr = self.focal * ds
+        dirs = _ray_dirs_np(h * ds, w * ds, focal_hr,
+                            self.opt.use_pixel_centers)
+        ref_idx = getattr(self.opt, "ref_idx", 0)
+        ro, rd = rays_from_pose(dirs, self.poses[ref_idx])
+        ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+        near, far = self._near_far()
+        if not self.spheric:
+            ro, rd = ndc_rays_np(h * ds, w * ds, focal_hr, 1.0, ro, rd)
+        n = ro.shape[0]
+        img = load_image(self.image_paths[ref_idx], wh_hr)
+        return {
+            "origins": ro,
+            "directions": rd,
+            "viewdirs": rd,
+            "near": np.full((n, 1), near, np.float32),
+            "far": np.full((n, 1), far, np.float32),
+            "rgbs": img.reshape(-1, 3).astype(np.float32),
+        }
+
+    def image_buffer(self):
+        """Image-structured training rays (N_img, H, W, C) for patch-mode
+        training (--patch_size > 1)."""
+        assert self.mode == "train"
+        w, h = self.img_wh
+        flat = self.ray_buffer()
+        n_img = len(next(iter(flat.values()))) // (h * w)
+        return {k: v.reshape(n_img, h, w, v.shape[-1])
+                for k, v in flat.items()}
 
     def image_rays(self, idx):
         if self.mode == "val":

@@ -154,6 +154,20 @@ class LLFFDownXDataset:
                     group_subpixels(sr, self.ds).astype(np.float32))
         return {k: np.concatenate(v) for k, v in parts.items()}
 
+    def ref_buffer(self):
+        """Flat HR rays + rgbs of the reference view (index 0) for the
+        --with_ref loss (parity: ``data/llff_downX_dataset.py:290-312``,
+        :335-363 — the downX variant keeps ref rays at img_wh)."""
+        from nerfsr_tpu.data.blender import load_image
+
+        ref_idx = getattr(self.opt, "ref_idx", 0)
+        rays = self._pose_rays_grouped(self.poses[ref_idx])
+        flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in rays.items()}
+        img = load_image(self.image_paths[ref_idx], self.img_wh)
+        flat["viewdirs"] = flat["directions"]
+        flat["rgbs"] = img.reshape(-1, 3).astype(np.float32)
+        return flat
+
     def patch_buffer(self, rng, n_patches):
         """Contiguous LR-patch ray bundles for TV regularization
         (``reg_patch`` split capability, reference :422-438): each item is

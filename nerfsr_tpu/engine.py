@@ -32,6 +32,9 @@ def setup(opt):
     """Seed + mesh + system (replaces ``utils/distributed.py:5-25`` — no
     process groups; XLA owns the collectives)."""
     np.random.seed(opt.seed)
+    if getattr(opt, "profile_port", 0):
+        jax.profiler.start_server(opt.profile_port)
+        print(f"[setup] jax profiler server on :{opt.profile_port}")
     n_dev = opt.mesh_devices or len(jax.devices())
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     system = create_model(opt)
@@ -58,7 +61,24 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
     print(f"[train] {n_rays} rays, {steps_per_epoch} steps/epoch, "
           f"{opt.n_epochs} epochs, mesh={mesh is not None}")
 
-    buffer = jax.tree_util.tree_map(jnp.asarray, buffer_np)
+    patch_mode = (getattr(opt, "patch_size", 1) > 1
+                  and hasattr(train_ds, "image_buffer")
+                  and hasattr(system, "train_step_patches"))
+    use_ref = (getattr(opt, "with_ref", False)
+               and not getattr(opt, "no_ref_loss", False)
+               and hasattr(train_ds, "ref_buffer")
+               and hasattr(system, "train_step_with_ref")
+               and not patch_mode)
+    if patch_mode:
+        buffer = jax.tree_util.tree_map(
+            jnp.asarray, train_ds.image_buffer())
+    else:
+        buffer = jax.tree_util.tree_map(jnp.asarray, buffer_np)
+    ref_buffer = None
+    if use_ref:
+        ref_buffer = jax.tree_util.tree_map(
+            jnp.asarray, train_ds.ref_buffer())
+        print(f"[train] with_ref: {ref_buffer['rgbs'].shape[0]} ref rays")
     warm_buffer = None
     if warmup_mode is not None:
         warm_ds = create_dataset(opt, warmup_mode)
@@ -90,13 +110,32 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
 
     for epoch in range(start_epoch + 1, opt.n_epochs + 1):
         t_epoch = time.time()
-        for it in range(steps_per_epoch):
+        scan_k = getattr(opt, "scan_steps", 0)
+        can_scan = scan_k > 1 and hasattr(system, "train_steps_scan")
+        it = 0
+        while it < steps_per_epoch:
             use_warm = (warm_buffer is not None
                         and global_step < warmup_iters)
             src = warm_buffer if use_warm else buffer
-            state, losses = system.train_step_from_buffer(state, src, key)
-            global_step += 1
-            if global_step % opt.log_every == 0:
+            if patch_mode:
+                k = 1
+                state, losses = system.train_step_patches(
+                    state, src, key, opt.patch_size)
+            elif use_ref:
+                k = 1
+                state, losses = system.train_step_with_ref(
+                    state, src, ref_buffer, key)
+            elif can_scan and not use_warm and \
+                    steps_per_epoch - it >= scan_k:
+                k = scan_k  # fixed chunk => one compiled scan program
+                state, losses = system.train_steps_scan(state, src, k, key)
+            else:
+                k = 1
+                state, losses = system.train_step_from_buffer(state, src,
+                                                              key)
+            global_step += k
+            it += k
+            if global_step % opt.log_every < k:
                 losses = jax.device_get(losses)
                 scal = {k: float(v) for k, v in losses.items()}
                 elapsed = time.time() - t_start

@@ -109,6 +109,54 @@ def bilateral_laplacian_loss(depth, rgb, gamma: float = 0.1):
 
 
 # ---------------------------------------------------------------------------
+# GAN objectives
+# ---------------------------------------------------------------------------
+
+def gan_loss(logits, target_is_real: bool, mode: str = "vanilla"):
+    """GAN objective on discriminator logits (parity: GANLoss,
+    ``models/nerf_downX_model.py:39-98``).
+
+    vanilla: sigmoid BCE vs the real/fake label
+    lsgan:   MSE vs 1/0
+    wgangp:  -mean(logits) for real, +mean(logits) for fake
+    """
+    if mode == "vanilla":
+        label = jnp.ones_like(logits) if target_is_real \
+            else jnp.zeros_like(logits)
+        return jnp.mean(
+            optax_sigmoid_bce(logits, label))
+    if mode == "lsgan":
+        target = 1.0 if target_is_real else 0.0
+        return jnp.mean((logits - target) ** 2)
+    if mode == "wgangp":
+        return -jnp.mean(logits) if target_is_real else jnp.mean(logits)
+    raise ValueError(f"unknown gan mode {mode}")
+
+
+def optax_sigmoid_bce(logits, labels):
+    # BCEWithLogits without importing optax here
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    return -(labels * log_p + (1.0 - labels) * log_not_p)
+
+
+def wgan_gradient_penalty(d_apply, key, real, fake, lam: float = 10.0):
+    """Standard WGAN-GP penalty on interpolates (capability of the
+    reference's wgangp mode)."""
+    eps = jax.random.uniform(key, (real.shape[0],) + (1,) *
+                             (real.ndim - 1))
+    inter = eps * real + (1 - eps) * fake
+
+    def d_sum(x):
+        return jnp.sum(d_apply(x))
+
+    grads = jax.grad(d_sum)(inter)
+    norms = jnp.sqrt(jnp.sum(grads ** 2, axis=tuple(range(1, real.ndim)))
+                     + 1e-12)
+    return lam * jnp.mean((norms - 1.0) ** 2)
+
+
+# ---------------------------------------------------------------------------
 # SSIM
 # ---------------------------------------------------------------------------
 

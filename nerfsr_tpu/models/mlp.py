@@ -86,3 +86,42 @@ class VanillaMLP(nn.Module):
         if self.color_activation == "sigmoid":
             rgb = nn.sigmoid(rgb)
         return rgb, sigma
+
+
+class NeuTexMLP(nn.Module):
+    """Variant with a deeper (2-layer, full-width) direction branch
+    (reference NeuTexMLP, ``models/networks.py:229-321``; unused by any
+    shipped script but part of the network zoo)."""
+
+    depth: int = 8
+    width: int = 256
+    skips: Sequence[int] = (4,)
+    dim_rgb: int = 3
+    color_activation: str = "sigmoid"
+    init_type: str = "kaiming"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz_emb: jnp.ndarray, dir_emb: jnp.ndarray | None,
+                 sigma_only: bool = False):
+        dense = lambda feats, name: nn.Dense(  # noqa: E731
+            feats, name=name, dtype=self.compute_dtype,
+            param_dtype=jnp.float32, kernel_init=_kernel_init(self.init_type))
+        x = xyz_emb.astype(self.compute_dtype)
+        inp = x
+        for i in range(self.depth):
+            if i in self.skips and i > 0:
+                x = jnp.concatenate([inp, x], axis=-1)
+            x = nn.relu(dense(self.width, f"xyz_encoding_{i + 1}")(x))
+        sigma = dense(1, "sigma")(x).astype(jnp.float32)[..., 0]
+        if sigma_only:
+            return None, sigma
+        feat = dense(self.width, "xyz_encoding_final")(x)
+        h = jnp.concatenate([feat, dir_emb.astype(self.compute_dtype)],
+                            axis=-1)
+        h = nn.relu(dense(self.width, "dir_encoding_1")(h))
+        h = nn.relu(dense(self.width, "dir_encoding_2")(h))
+        rgb = dense(self.dim_rgb, "rgb")(h).astype(jnp.float32)
+        if self.color_activation == "sigmoid":
+            rgb = nn.sigmoid(rgb)
+        return rgb, sigma

@@ -205,6 +205,8 @@ class NeRFDownXSystem(NeRFSystem):
         return result
 
     def eval_metrics(self, out, sample):
+        from nerfsr_tpu.models.criterions import ssim as ssim_fn
+
         m = {"coarse_psnr": float(psnr_fn(out["coarse_rgb"],
                                           sample["rgbs"]))}
         m["fine_psnr"] = float(psnr_fn(out["fine_rgb"], sample["rgbs"])) \
@@ -217,6 +219,10 @@ class NeRFDownXSystem(NeRFSystem):
             if "fine_rgb_ori" in out:
                 m["fine_psnr_ori"] = float(psnr_fn(
                     out["fine_rgb_ori"], hr))
+                w, h = self.opt.img_wh
+                m["fine_ssim_ori"] = float(ssim_fn(
+                    jnp.asarray(out["fine_rgb_ori"].reshape(h, w, 3)),
+                    jnp.asarray(hr.reshape(h, w, 3))))
         return m
 
     def eval_visuals(self, out, sample, idx, with_gt, depth_bounds):

@@ -64,24 +64,55 @@ class NeRFSystem:
             noise_std=opt.noise_std,
             sigma_activation=opt.sigma_activation,
             use_dir=not opt.no_dir,
+            gamma_correct=getattr(opt, "gamma_correct", False),
+            use_pallas=getattr(opt, "use_pallas", False),
+            use_fused_mlp=self._fused_mlp_ok(opt),
+            fused_dtype="f32" if opt.precision == "f32" else "bf16",
+            pallas_interpret=getattr(opt, "pallas_interpret", False),
         )
-        self.mlp = VanillaMLP(
-            depth=opt.D,
-            width=opt.W,
-            skips=tuple(opt.skips),
-            use_dir=not opt.no_dir,
-            stop_grad=opt.stop_grad,
-            dim_rgb=opt.dim_rgb,
-            color_activation=opt.color_activation,
-            init_type=opt.init_type,
-            compute_dtype=_compute_dtype(opt.precision),
-        )
+        if getattr(opt, "mlp_network", "vanilla_mlp") == "neutex_mlp":
+            from nerfsr_tpu.models.mlp import NeuTexMLP
+            self.mlp = NeuTexMLP(
+                depth=opt.D, width=opt.W, skips=tuple(opt.skips),
+                dim_rgb=opt.dim_rgb,
+                color_activation=opt.color_activation,
+                init_type=opt.init_type,
+                compute_dtype=_compute_dtype(opt.precision))
+        else:
+            self.mlp = VanillaMLP(
+                depth=opt.D,
+                width=opt.W,
+                skips=tuple(opt.skips),
+                use_dir=not opt.no_dir,
+                stop_grad=opt.stop_grad,
+                dim_rgb=opt.dim_rgb,
+                color_activation=opt.color_activation,
+                init_type=opt.init_type,
+                compute_dtype=_compute_dtype(opt.precision),
+            )
         self.mesh = None          # set via .use_mesh()
         self.tx = None            # built in create_state
         self._steps_per_epoch = max(1, getattr(opt, "steps_per_epoch", 1) or 1)
         # loss/metric name lists (parity: models/nerf_model.py:98-101)
         self.train_loss_names = ["coarse_mse", "fine_mse", "coarse_psnr",
                                  "fine_psnr", "tot"]
+
+    @staticmethod
+    def _fused_mlp_ok(opt):
+        """The Pallas MLP megakernel covers the reference default
+        architecture; anything else falls back to the flax path."""
+        if not getattr(opt, "use_pallas_mlp", False):
+            return False
+        ok = (opt.D == 8 and opt.W == 256 and tuple(opt.skips) == (4,)
+              and opt.deg_pos == 10 and opt.deg_dir == 4
+              and not opt.no_dir and not opt.stop_grad
+              and opt.dim_rgb == 3 and opt.color_activation == "sigmoid"
+              and not opt.no_xyz and not opt.no_logscale
+              and opt.mlp_network == "vanilla_mlp")
+        if getattr(opt, "use_pallas_mlp", False) and not ok:
+            print("[nerf] use_pallas_mlp requested but architecture "
+                  "differs from the fused kernel's; using flax path")
+        return ok
 
     # ------------------------------------------------------------------
     # setup
@@ -183,6 +214,24 @@ class NeRFSystem:
         del out, batch
         return {}
 
+    def _ref_losses(self, params, ref_batch, key):
+        """Reference-view HR supervision: mse / downscale^2 on rays of
+        the reference image (parity: ``models/nerf_model.py:267-270``,
+        gated by --with_ref / --no_ref_loss)."""
+        rays = self._batch_to_rays(ref_batch)
+        out = self.render(params, rays, key, randomized=True)
+        scale = 1.0 / (self.opt.downscale ** 2)
+        losses = {}
+        tot = 0.0
+        losses["ref_coarse_mse"] = jnp.mean(
+            (out["coarse_rgb"] - ref_batch["rgbs"]) ** 2) * scale
+        tot = tot + losses["ref_coarse_mse"]
+        if "fine_rgb" in out:
+            losses["ref_fine_mse"] = jnp.mean(
+                (out["fine_rgb"] - ref_batch["rgbs"]) ** 2) * scale
+            tot = tot + losses["ref_fine_mse"]
+        return tot, losses
+
     # ------------------------------------------------------------------
     # jitted steps
     # ------------------------------------------------------------------
@@ -225,6 +274,154 @@ class NeRFSystem:
         out = self.render(params, rays, key, randomized=True)
         return self.compute_losses(out, batch)
 
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step_with_ref(self, state: TrainState, buffer, ref_buffer,
+                            key):
+        """Buffer-sampled step with the additional reference-view loss
+        (--with_ref): a same-size batch of reference-image HR rays is
+        rendered and supervised at weight 1/downscale^2."""
+        n_total = buffer["rgbs"].shape[0]
+        n_ref = ref_buffer["rgbs"].shape[0]
+        step_key = jax.random.fold_in(key, state.step)
+        k_idx, k_ref_idx, k_render, k_ref = jax.random.split(step_key, 4)
+        idx = jax.random.randint(k_idx, (self.opt.batch_size,), 0, n_total)
+        ref_idx = jax.random.randint(
+            k_ref_idx, (self.opt.batch_size,), 0, n_ref)
+        batch = jax.tree_util.tree_map(lambda x: x[idx], buffer)
+        ref_batch = jax.tree_util.tree_map(
+            lambda x: x[ref_idx], ref_buffer)
+        batch = shard_batch(batch, self.mesh)
+        ref_batch = shard_batch(ref_batch, self.mesh)
+
+        def loss_fn(params):
+            loss, losses = self._loss_fn(params, batch, k_render)
+            ref_tot, ref_losses = self._ref_losses(params, ref_batch,
+                                                   k_ref)
+            losses.update(ref_losses)
+            losses["tot"] = loss + ref_tot
+            return losses["tot"], losses
+
+        (_, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), losses
+
+    @functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=1)
+    def train_step_patches(self, state: TrainState, img_buffer, key,
+                           patch_size: int = 0):
+        """Patch-mode training (--patch_size > 1, parity:
+        ``data/llff_dataset.py:381-389`` patch sampling + the
+        depth-laplacian / VGG patch losses of
+        ``models/nerf_model.py:276-304``).
+
+        img_buffer: image-structured arrays (N_img, H, W, C); each step
+        samples ``batch_size // ps^2`` contiguous ps x ps patches with
+        jitted dynamic slices.
+        """
+        from nerfsr_tpu.models.criterions import bilateral_laplacian_loss
+
+        ps = patch_size or self.opt.patch_size
+        n_patches = max(1, self.opt.batch_size // (ps * ps))
+        n_img, h, w = img_buffer["rgbs"].shape[:3]
+        step_key = jax.random.fold_in(key, state.step)
+        k_i, k_r, k_c, k_render = jax.random.split(step_key, 4)
+        img_idx = jax.random.randint(k_i, (n_patches,), 0, n_img)
+        rows = jax.random.randint(k_r, (n_patches,), 0, h - ps + 1)
+        cols = jax.random.randint(k_c, (n_patches,), 0, w - ps + 1)
+
+        def gather_patch(arr, i, r, c):
+            return jax.lax.dynamic_slice(
+                arr[i], (r, c, 0), (ps, ps, arr.shape[-1]))
+
+        def gather_all(arr):
+            return jax.vmap(
+                lambda i, r, c: gather_patch(arr, i, r, c))(
+                img_idx, rows, cols)
+
+        patches = {k: gather_all(v) for k, v in img_buffer.items()}
+        flat = {k: v.reshape(-1, v.shape[-1]) for k, v in patches.items()}
+        flat = shard_batch(flat, self.mesh)
+
+        opt = self.opt
+
+        def loss_fn(params):
+            rays = self._batch_to_rays(flat)
+            out = self.render(params, rays, k_render, randomized=True)
+            loss, losses = self.compute_losses(out, flat)
+            # edge-aware depth smoothness over patches (:276-290)
+            rgb_p = flat["rgbs"].reshape(n_patches, ps, ps, 3)
+            if opt.lambda_coarse_depth_lap > 0 and ps > 2:
+                lap = bilateral_laplacian_loss(
+                    out["coarse_depth"].reshape(n_patches, ps, ps),
+                    rgb_p, opt.bilateral_gamma)
+                losses["coarse_depth_lap"] = lap
+                loss = loss + lap * opt.lambda_coarse_depth_lap
+            if opt.lambda_fine_depth_lap > 0 and ps > 2 and \
+                    "fine_depth" in out:
+                lap = bilateral_laplacian_loss(
+                    out["fine_depth"].reshape(n_patches, ps, ps),
+                    rgb_p, opt.bilateral_gamma)
+                losses["fine_depth_lap"] = lap
+                loss = loss + lap * opt.lambda_fine_depth_lap
+            # VGG perceptual patch losses (:292-304) need >=32px patches
+            if ps >= 32 and (opt.lambda_coarse_vgg > 0
+                             or opt.lambda_fine_vgg > 0):
+                vgg = self._get_vgg()
+                for level, lam in (("coarse", opt.lambda_coarse_vgg),
+                                   ("fine", opt.lambda_fine_vgg)):
+                    if lam > 0 and f"{level}_rgb" in out:
+                        pred = out[f"{level}_rgb"].reshape(
+                            n_patches, ps, ps, 3) * 2 - 1
+                        v = vgg(pred, rgb_p * 2 - 1) * lam
+                        losses[f"{level}_vgg"] = v
+                        loss = loss + v
+            losses["tot"] = loss
+            return loss, losses
+
+        (_, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), losses
+
+    def _get_vgg(self):
+        if not hasattr(self, "_vgg"):
+            from nerfsr_tpu.models.criterions import VGGPerceptualLoss
+            self._vgg = VGGPerceptualLoss(
+                getattr(self.opt, "vgg_weights", None))
+        return self._vgg
+
+    @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=1)
+    def train_steps_scan(self, state: TrainState, buffer, n_steps: int,
+                         key):
+        """Run ``n_steps`` buffer-sampled optimization steps inside ONE
+        compiled program via ``lax.scan``.
+
+        On TPU this amortizes per-dispatch overhead (host RPC + launch)
+        across many steps — the dominant cost at NeRF batch sizes — and
+        lets XLA overlap the index gather of step k+1 with step k's
+        backward. Returns the final state and the LAST step's losses.
+        """
+        n_total = buffer["rgbs"].shape[0]
+
+        def body(state, _):
+            step_key = jax.random.fold_in(key, state.step)
+            idx_key, render_key = jax.random.split(step_key)
+            idx = jax.random.randint(
+                idx_key, (self.opt.batch_size,), 0, n_total)
+            batch = jax.tree_util.tree_map(lambda x: x[idx], buffer)
+            new_state, losses = self._train_step_impl(state, batch,
+                                                      render_key)
+            return new_state, losses
+
+        state, losses = jax.lax.scan(body, state, None, length=n_steps)
+        return state, jax.tree_util.tree_map(lambda x: x[-1], losses)
+
     def _train_step_impl(self, state, batch, step_key):
         batch = shard_batch(batch, self.mesh)
 
@@ -252,13 +449,20 @@ class NeRFSystem:
     # eval metrics / visuals (consumed by the engine loops)
     # ------------------------------------------------------------------
     def eval_metrics(self, out, sample):
-        """PSNR dict for one rendered image (parity names:
-        ``models/nerf_model.py:100``)."""
-        import numpy as np
+        """PSNR + SSIM for one rendered image (PSNR names parity:
+        ``models/nerf_model.py:100``; SSIM closes the reference's
+        'TODO: SSIM calculation', ``models/nerf_model.py:39-41``)."""
+        from nerfsr_tpu.models.criterions import ssim as ssim_fn
+
         gt = sample["rgbs"]
         m = {"coarse_psnr": float(psnr_fn(out["coarse_rgb"], gt))}
         m["fine_psnr"] = float(psnr_fn(out["fine_rgb"], gt)) \
             if "fine_rgb" in out else m["coarse_psnr"]
+        w, h = self.opt.img_wh
+        fine_key = "fine_rgb" if "fine_rgb" in out else "coarse_rgb"
+        m["fine_ssim"] = float(ssim_fn(
+            jnp.asarray(out[fine_key].reshape(h, w, 3)),
+            jnp.asarray(gt.reshape(h, w, 3))))
         return m
 
     def eval_visuals(self, out, sample, idx, with_gt, depth_bounds):

@@ -93,6 +93,62 @@ class UnetGenerator(nn.Module):
         return out
 
 
+class ResnetBlock(nn.Module):
+    """Residual conv block with reflect padding (reference ResnetBlock,
+    ``models/networks.py:520-586``)."""
+
+    features: int
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ura = not train
+        h = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        h = nn.Conv(self.features, (3, 3), padding=0,
+                    kernel_init=xavier)(h)
+        h = nn.relu(_Norm(self.norm, ura)(h))
+        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        h = nn.Conv(self.features, (3, 3), padding=0,
+                    kernel_init=xavier)(h)
+        h = _Norm(self.norm, ura)(h)
+        return x + h
+
+
+class ResnetGenerator(nn.Module):
+    """Resnet-based translator (reference ResnetGenerator,
+    ``models/networks.py:461-518``; not used by any shipped script):
+    7x7 stem, 2 stride-2 downs, n_blocks residual blocks, 2 ups, tanh."""
+
+    output_nc: int = 3
+    ngf: int = 64
+    n_blocks: int = 6
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ura = not train
+        h = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+        h = nn.Conv(self.ngf, (7, 7), padding=0, kernel_init=xavier)(h)
+        h = nn.relu(_Norm(self.norm, ura)(h))
+        for i in range(2):
+            mult = 2 ** i
+            h = nn.Conv(self.ngf * mult * 2, (3, 3), strides=(2, 2),
+                        padding=1, kernel_init=xavier)(h)
+            h = nn.relu(_Norm(self.norm, ura)(h))
+        for _ in range(self.n_blocks):
+            h = ResnetBlock(self.ngf * 4, self.norm)(h, train=train)
+        for i in range(2):
+            mult = 2 ** (2 - i)
+            h = nn.ConvTranspose(self.ngf * mult // 2, (3, 3),
+                                 strides=(2, 2), padding="SAME",
+                                 kernel_init=xavier)(h)
+            h = nn.relu(_Norm(self.norm, ura)(h))
+        h = jnp.pad(h, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+        h = nn.Conv(self.output_nc, (7, 7), padding=0,
+                    kernel_init=xavier)(h)
+        return nn.tanh(h)
+
+
 class VNPCATEncoder(nn.Module):
     """7-conv multi-scale patch encoder (reference Model_VNPCAT_Encoder):
     returns features at 4 scales [x2(128, full), x4(256, /2), x6(512, /4),

@@ -37,6 +37,11 @@ class RenderConfig:
     noise_std: float = 0.0         # --noise_std
     sigma_activation: str = "relu"  # --sigma_activation
     use_dir: bool = True           # not --no_dir
+    gamma_correct: bool = False    # --gamma_correct (downX :271-277)
+    use_pallas: bool = False       # fused Pallas compositing kernel
+    use_fused_mlp: bool = False    # Pallas MLP megakernel (--use_pallas_mlp)
+    fused_dtype: str = "bf16"      # megakernel compute dtype
+    pallas_interpret: bool = False  # interpreter mode (CPU tests)
 
 
 def render_rays(mlp, params_coarse, params_fine, rays: Rays,
@@ -66,15 +71,40 @@ def render_rays(mlp, params_coarse, params_fine, rays: Rays,
 
     def run_level(params, points, z_vals, noise_key):
         n, s, _ = points.shape
-        xyz_emb = positional_encoding(
-            points, cfg.deg_pos, cfg.include_identity, cfg.log_scale)
-        d_emb = None
-        if dir_emb is not None:
-            d_emb = jnp.broadcast_to(
-                dir_emb[:, None, :], (n, s, dir_emb.shape[-1]))
-        rgb, sigma = mlp.apply(params, xyz_emb, d_emb)
+        if cfg.use_fused_mlp:
+            # Pallas megakernel: posenc + all layers fused on-chip; raw
+            # points/dirs go in, rgb/sigma come out (ops/pallas_mlp.py).
+            from nerfsr_tpu.ops.pallas_mlp import (flatten_params,
+                                                   fused_nerf_mlp)
+            pts_flat = points.reshape(-1, 3)
+            dirs_flat = jnp.broadcast_to(
+                rays.viewdirs[:, None, :], (n, s, 3)).reshape(-1, 3)
+            dtype = jnp.bfloat16 if cfg.fused_dtype == "bf16" \
+                else jnp.float32
+            rgb, sigma = fused_nerf_mlp(
+                flatten_params(params), pts_flat, dirs_flat, dtype,
+                cfg.pallas_interpret)
+            rgb = rgb.reshape(n, s, 3)
+            sigma = sigma.reshape(n, s)
+        else:
+            xyz_emb = positional_encoding(
+                points, cfg.deg_pos, cfg.include_identity, cfg.log_scale)
+            d_emb = None
+            if dir_emb is not None:
+                d_emb = jnp.broadcast_to(
+                    dir_emb[:, None, :], (n, s, dir_emb.shape[-1]))
+            rgb, sigma = mlp.apply(params, xyz_emb, d_emb)
+        if cfg.gamma_correct:
+            # gamma-correct the MLP color before compositing
+            # (nerf_downX_model.py:271-277)
+            rgb = jnp.power(jnp.maximum(rgb, 1e-8), 1.0 / 2.2)
         sigma = add_gaussian_noise(noise_key, sigma, randomized,
                                    cfg.noise_std)
+        if cfg.use_pallas:
+            from nerfsr_tpu.ops.pallas_composite import (
+                pallas_volumetric_rendering)
+            return pallas_volumetric_rendering(
+                rgb, sigma, z_vals, cfg.white_bkgd, cfg.sigma_activation)
         return volumetric_rendering(rgb, sigma, z_vals, cfg.white_bkgd,
                                     cfg.sigma_activation)
 

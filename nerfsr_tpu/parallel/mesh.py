@@ -28,6 +28,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host initialization (the TPU equivalent of the reference's
+    ``utils/distributed.py:5-18`` setup_env: no process groups or NCCL —
+    ``jax.distributed.initialize`` wires DCN and ``jax.devices()`` spans
+    the slice; the same mesh code then runs unchanged)."""
+    kwargs = {}
+    if coordinator:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
+def is_master() -> bool:
+    """Process-0 check for logging/checkpointing (parity:
+    ``opt.is_master``, ``options/base_options.py:150``)."""
+    return jax.process_index() == 0
+
+
 def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
     """Create a 1-D data-parallel mesh over local (or given) devices."""
     if devices is None:

@@ -67,6 +67,10 @@ def save_visuals(visuals: Sequence[Visualizee], out_dir: str,
             frames = [_to_uint8(im, v.range) for im in v.data]
             imageio.mimsave(os.path.join(out_dir, f"{base}.gif"), frames,
                             duration=0.1)
+        elif v.kind == "pc":
+            # point cloud: (N, 3) xyz or (N, 6) xyz+rgb -> .ply
+            pts = np.asarray(v.data, np.float32)
+            _write_ply(os.path.join(out_dir, f"{base}.ply"), pts)
         elif v.kind == "matrix":
             # npz + colormapped png (utils/visualizer.py:94-99); the npz is
             # the correspondence input for the refinement stage.
@@ -77,6 +81,26 @@ def save_visuals(visuals: Sequence[Visualizee], out_dir: str,
                 os.path.join(out_dir, f"{base}.png"))
         else:
             raise ValueError(f"unknown visual kind {v.kind}")
+
+
+def _write_ply(path, pts):
+    """Minimal ascii PLY writer for point-cloud artifacts (parity with
+    the reference's 'pc' Visualizee kind)."""
+    has_rgb = pts.shape[-1] >= 6
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(pts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if has_rgb:
+            f.write("property uchar red\nproperty uchar green\n"
+                    "property uchar blue\n")
+        f.write("end_header\n")
+        for p in pts:
+            line = f"{p[0]} {p[1]} {p[2]}"
+            if has_rgb:
+                rgb = (np.clip(p[3:6], 0, 1) * 255).astype(int)
+                line += f" {rgb[0]} {rgb[1]} {rgb[2]}"
+            f.write(line + "\n")
 
 
 def depth2im(depth, near, far):

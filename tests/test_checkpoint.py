@@ -1,0 +1,129 @@
+"""Checkpoint/resume, cross-experiment init, layer freezing, and the LR
+schedule parity."""
+
+import math
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nerfsr_tpu.config import default_options
+from nerfsr_tpu.models import create_model
+from nerfsr_tpu.utils import checkpoint as ckpt
+from nerfsr_tpu.utils.schedule import make_lr_schedule, make_jax_lr_schedule
+
+
+def tiny_opt(tmp, name="ck", **kw):
+    base = dict(model="nerf", dataset_mode="blender", batch_size=8,
+                N_coarse=4, N_importance=4, D=2, W=16, deg_pos=2,
+                deg_dir=1, precision="f32", n_epochs=4, n_epochs_decay=2,
+                checkpoints_dir=str(tmp), name=name)
+    base.update(kw)
+    return default_options("train", **base)
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip_exact(self, tmp_path):
+        opt = tiny_opt(tmp_path)
+        sys_ = create_model(opt)
+        state = sys_.create_state(jax.random.PRNGKey(0), 10)
+        batch_key = jax.random.PRNGKey(1)
+        rng = np.random.RandomState(0)
+        d = rng.randn(8, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        batch = {
+            "origins": jnp.asarray(rng.randn(8, 3).astype(np.float32)),
+            "directions": jnp.asarray(d), "viewdirs": jnp.asarray(d),
+            "near": jnp.full((8, 1), 2.0), "far": jnp.full((8, 1), 6.0),
+            "rgbs": jnp.asarray(rng.rand(8, 3).astype(np.float32)),
+        }
+        state, _ = sys_.train_step(state, batch, batch_key)
+        ckpt.save_checkpoint(opt, state, epoch=1)
+
+        template = sys_.create_state(jax.random.PRNGKey(9), 10)
+        restored = ckpt.load_checkpoint(opt, template, epoch=1)
+        assert int(restored.step) == int(state.step)
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # optimizer state restored too (unlike the reference)
+        for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                        jax.tree_util.tree_leaves(restored.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # 'latest' alias + resume-epoch scan
+        latest = ckpt.load_checkpoint(opt, template, epoch="latest")
+        assert int(latest.step) == int(state.step)
+        assert ckpt.find_resume_epoch(opt) == 1
+
+    def test_init_weights_from_other_experiment(self, tmp_path):
+        opt_a = tiny_opt(tmp_path, name="expA", seed=1)
+        sys_a = create_model(opt_a)
+        state_a = sys_a.create_state(jax.random.PRNGKey(1), 10)
+        ckpt.save_checkpoint(opt_a, state_a, epoch=2)
+
+        opt_b = tiny_opt(tmp_path, name="expB",
+                         init_weights="expA:2",
+                         init_weights_keys="coarse")
+        sys_b = create_model(opt_b)
+        state_b = sys_b.create_state(jax.random.PRNGKey(2), 10)
+        merged = ckpt.init_weights_from(opt_b, state_b, state_b)
+        # coarse params copied from expA, fine params untouched
+        a_coarse = jax.tree_util.tree_leaves(state_a.params["coarse"])
+        m_coarse = jax.tree_util.tree_leaves(merged.params["coarse"])
+        for a, m in zip(a_coarse, m_coarse):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(m))
+        b_fine = jax.tree_util.tree_leaves(state_b.params["fine"])
+        m_fine = jax.tree_util.tree_leaves(merged.params["fine"])
+        for b, m in zip(b_fine, m_fine):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(m))
+
+    def test_fix_layers_mask(self, tmp_path):
+        opt = tiny_opt(tmp_path, fix_layers="coarse")
+        sys_ = create_model(opt)
+        state = sys_.create_state(jax.random.PRNGKey(0), 10)
+        mask = ckpt.fix_layers_mask(opt, state.params)
+        coarse_mask = jax.tree_util.tree_leaves(mask["coarse"])
+        fine_mask = jax.tree_util.tree_leaves(mask["fine"])
+        assert all(coarse_mask) and not any(fine_mask)
+
+
+class TestLRSchedule:
+    def test_exp_policy_epoch_values(self, tmp_path):
+        """The reference exp policy: lr at epoch e follows log-space
+        interpolation with t = max(0, e+1-n_epochs+n_decay)/(n_decay+1)
+        (models/networks.py:108-113)."""
+        opt = tiny_opt(tmp_path, n_epochs=20, n_epochs_decay=10,
+                       lr=5e-4, lr_final=5e-6, lr_policy="exp")
+        spe = 100
+        sched = make_lr_schedule(opt, spe)
+        jsched = make_jax_lr_schedule(opt, spe)
+        for epoch in (0, 5, 9, 10, 15, 19, 20):
+            t = max(0, epoch + 1 - 20 + 10) / 11.0
+            expected = math.exp(
+                math.log(5e-4) * (1 - t) + math.log(5e-6) * t)
+            assert abs(sched(epoch * spe) - expected) < 1e-12
+            np.testing.assert_allclose(
+                float(jsched(jnp.asarray(epoch * spe))), expected,
+                rtol=1e-5)
+            # constant within an epoch
+            assert sched(epoch * spe) == sched(epoch * spe + spe - 1)
+
+    def test_linear_and_step(self, tmp_path):
+        opt = tiny_opt(tmp_path, lr_policy="linear", lr=1e-3,
+                       lr_final=1e-5, n_epochs=10, n_epochs_decay=5)
+        s = make_lr_schedule(opt, 10)
+        assert s(0) == 1e-3
+        t = max(0, 10 + 1 - 10 + 5) / 6.0
+        np.testing.assert_allclose(s(100), 1e-3 * (1 - t) + 1e-5 * t)
+
+        opt = tiny_opt(tmp_path, lr_policy="step", lr=1e-3,
+                       lr_decay_epochs=2, lr_decay_gamma=0.5)
+        s = make_lr_schedule(opt, 10)
+        assert s(0) == 1e-3
+        assert abs(s(45) - 1e-3 * 0.25) < 1e-12  # epoch 4 -> gamma^2
