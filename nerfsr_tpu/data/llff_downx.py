@@ -188,6 +188,37 @@ class LLFFDownXDataset:
             out.append({k: v[idx] for k, v in rays.items()})
         return out
 
+    def gan_patch(self, rng):
+        """One HR patch for adversarial training (parity with the 'gan'
+        split, reference :440-464): contiguous patch_len x patch_len HR
+        rays from a random train view + the 'real' patch — the reference
+        view's HR pixels at the same location (or the view's own HR gt
+        with --all_ref)."""
+        from nerfsr_tpu.data.blender import load_image
+        from nerfsr_tpu.data.downx_common import ungroup_subpixels
+
+        plen = self.opt.patch_len
+        pl_lr = plen // self.ds
+        w, h = self.img_wh
+        wl, hl = w // self.ds, h // self.ds
+        usable = [i for i in range(len(self.image_paths))
+                  if i != self.val_idx]
+        i = usable[rng.randint(len(usable))]
+        r0 = rng.randint(hl - pl_lr)
+        c0 = rng.randint(wl - pl_lr)
+        rays = self._pose_rays_grouped(self.poses[i])
+        idx = ((r0 + np.arange(pl_lr))[:, None] * wl
+               + (c0 + np.arange(pl_lr))[None, :]).reshape(-1)
+        patch = {k: ungroup_subpixels(v[idx], (plen, plen), self.ds)
+                 for k, v in rays.items()}  # HR (plen, plen, C)
+        ref_idx = getattr(self.opt, "ref_idx", 0)
+        src = self.image_paths[i] if self.opt.all_ref \
+            else self.image_paths[ref_idx]
+        img = load_image(src, self.img_wh)
+        patch["rgbs"] = img[r0 * self.ds:r0 * self.ds + plen,
+                            c0 * self.ds:c0 * self.ds + plen]
+        return patch
+
     def image_rays(self, idx):
         if self.mode == "val":
             pose_idx = self.val_idx

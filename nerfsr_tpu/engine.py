@@ -85,6 +85,17 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
         warm_buffer = jax.tree_util.tree_map(
             jnp.asarray, warm_ds.ray_buffer())
 
+    # adversarial patch training (--with_netD, downX; reference
+    # train.py gan hook + nerf_downX_model.train_gan)
+    gan_state = None
+    gan_rng = np.random.RandomState(opt.seed + 1)
+    if (getattr(opt, "with_netD", False)
+            and hasattr(system, "create_gan_state")
+            and hasattr(train_ds, "gan_patch")):
+        gan_state = system.create_gan_state(
+            jax.random.PRNGKey(opt.seed + 1))
+        print("[train] adversarial patch training enabled")
+
     val_ds = None
     try:
         val_ds = create_dataset(opt, opt.val_split)
@@ -135,6 +146,14 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                                                               key)
             global_step += k
             it += k
+            if (gan_state is not None
+                    and epoch > getattr(opt, "start_epoch", 0)
+                    and global_step % max(1, opt.gan_iter) < k):
+                patch = jax.tree_util.tree_map(
+                    jnp.asarray, train_ds.gan_patch(gan_rng))
+                state, gan_state, gan_losses = system.gan_step(
+                    state, gan_state, patch, key)
+                losses = {**losses, **gan_losses}
             if global_step % opt.log_every < k:
                 losses = jax.device_get(losses)
                 scal = {k: float(v) for k, v in losses.items()}

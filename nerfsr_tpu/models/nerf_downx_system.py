@@ -14,9 +14,9 @@ bundle — a single fused render per step; the subpixel mean is a free
 reshape+reduce that XLA fuses into the loss.
 
 The reference's auxiliary GAN patch training (``train_gan``, :572-594)
-and TV patch regularizer (``regularize_patch``, :596-618) are not used by
-any shipped script; the TV regularizer is available via
-``reg_patch_loss`` below, the GAN path is future work.
+and TV patch regularizer (``regularize_patch``, :596-618) are not used
+by any shipped script but are provided: ``gan_step`` (with the
+image-gradient discriminator input of :550-570) and ``reg_patch_step``.
 """
 
 from __future__ import annotations
@@ -180,6 +180,86 @@ class NeRFDownXSystem(NeRFSystem):
         params = optax.apply_updates(state.params, updates)
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), losses
+
+    # ------------------------------------------------------------------
+    # adversarial patch training (--with_netD; reference train_gan
+    # :572-594 + backward_D/G :518-548, unused by shipped scripts)
+    # ------------------------------------------------------------------
+    def create_gan_state(self, key):
+        from nerfsr_tpu.models.networks import NLayerDiscriminator
+        import optax
+
+        self.netD = NLayerDiscriminator(patch_len=self.opt.patch_len)
+        variables = self.netD.init(
+            key, jnp.zeros((1, self.opt.patch_len, self.opt.patch_len, 3)))
+        self.txD = optax.adam(self.opt.gan_lr, b1=self.opt.beta1)
+        return {"params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {}),
+                "opt_state": self.txD.init(variables["params"])}
+
+    def _img_grad_mag(self, img):
+        """Gradient-magnitude D input (--use_grad; reference img_grad
+        :550-570): sqrt(dx^2 + dy^2) of forward differences."""
+        from nerfsr_tpu.models.criterions import image_gradients
+        dy, dx = image_gradients(img)
+        return jnp.sqrt(dx ** 2 + dy ** 2 + 1e-12)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def gan_step(self, state: TrainState, d_state, patch, key):
+        """Render one HR patch and take a D step + a lambda_gan-weighted
+        G step (the L1 term is omitted — 'already done by nerf',
+        reference :545-547). patch: HR (P, P, C) ray fields + rgbs."""
+        import optax
+        from nerfsr_tpu.models.criterions import gan_loss
+
+        opt = self.opt
+        plen = opt.patch_len
+        step_key = jax.random.fold_in(key, state.step)
+        flat = {k: v.reshape(-1, v.shape[-1]) for k, v in patch.items()}
+        real = patch["rgbs"][None]                      # (1, P, P, 3)
+
+        def render_patch(params):
+            rays = self._batch_to_rays(flat)
+            out = self.render(params, rays, step_key, randomized=True)
+            return out["fine_rgb"].reshape(1, plen, plen, 3)
+
+        def d_in(x):
+            return self._img_grad_mag(x) if opt.use_grad else x
+
+        fake = render_patch(state.params)
+        fake_sg = jax.lax.stop_gradient(fake)
+
+        d_vars = lambda pd: {"params": pd,
+                             "batch_stats": d_state["batch_stats"]}
+
+        def d_loss_fn(pd):
+            pf = self.netD.apply(d_vars(pd), d_in(fake_sg))
+            pr = self.netD.apply(d_vars(pd), d_in(real))
+            lf = gan_loss(pf, False, opt.gan_mode)
+            lr_ = gan_loss(pr, True, opt.gan_mode)
+            return 0.5 * (lf + lr_), (lr_, lf)
+
+        (_, (d_real, d_fake)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(d_state["params"])
+        d_updates, d_opt = self.txD.update(d_grads, d_state["opt_state"],
+                                           d_state["params"])
+        d_params = optax.apply_updates(d_state["params"], d_updates)
+
+        def g_loss_fn(params):
+            fake_g = render_patch(params)
+            pf = self.netD.apply(d_vars(d_params), d_in(fake_g))
+            return gan_loss(pf, True, opt.gan_mode) * opt.lambda_gan
+
+        g_gan, g_grads = jax.value_and_grad(g_loss_fn)(state.params)
+        g_updates, opt_state = self.tx.update(g_grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, g_updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        return new_state, {"params": d_params,
+                           "batch_stats": d_state["batch_stats"],
+                           "opt_state": d_opt}, \
+            {"G_GAN": g_gan, "D_real": d_real, "D_fake": d_fake}
 
     # ------------------------------------------------------------------
     # evaluation: render HR, report both LR (subpixel mean) and HR (ori)

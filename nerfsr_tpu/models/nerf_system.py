@@ -143,14 +143,14 @@ class NeRFSystem:
         if steps_per_epoch:
             self._steps_per_epoch = max(1, steps_per_epoch)
         params = self.init_params(key)
-        self.tx = self._make_tx()
+        self.tx = self._make_tx(params)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=self.tx.init(params),
         )
 
-    def _make_tx(self):
+    def _make_tx(self, params=None):
         opt = self.opt
         sched = make_jax_lr_schedule(opt, self._steps_per_epoch)
         chain = []
@@ -161,7 +161,15 @@ class NeRFSystem:
                 chain.append(optax.clip(opt.grad_clip_val))
         chain.append(optax.scale_by_adam(b1=opt.beta1, b2=0.999))
         chain.append(optax.scale_by_schedule(lambda s: -sched(s)))
-        return optax.chain(*chain)
+        tx = optax.chain(*chain)
+        if getattr(opt, "fix_layers", None) and params is not None:
+            # regex layer freezing (parity: models/base_model.py:96-103):
+            # frozen leaves get zero updates.
+            from nerfsr_tpu.utils.checkpoint import fix_layers_mask
+            frozen = fix_layers_mask(opt, params)
+            trainable = jax.tree_util.tree_map(lambda f: not f, frozen)
+            tx = optax.masked(tx, trainable)
+        return tx
 
     # ------------------------------------------------------------------
     # forward / loss
