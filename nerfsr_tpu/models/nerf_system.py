@@ -507,7 +507,12 @@ class NeRFSystem:
         Static shapes keep one compiled executable for every chunk
         (SURVEY.md §7 'Ragged eval vs static shapes').
         """
-        chunk = chunk or max(4096, self.opt.ray_chunk)
+        if chunk is None:
+            chunk = max(4096, self.opt.ray_chunk)
+            if jax.default_backend() != "cpu":
+                # TPU eval: fewer, larger dispatches (a 32K-ray chunk at
+                # 192 samples is ~4.5M points — well within HBM)
+                chunk = max(chunk, 32768)
         n = rays_np["origins"].shape[0]
         outs = []
         for start in range(0, n, chunk):

@@ -141,11 +141,20 @@ def _fwd_kernel(pts_ref, dirs_ref, *refs, compute_dtype):
 
 def _bwd_kernel(pts_ref, dirs_ref, *refs, compute_dtype, n_w):
     """Recompute forward, backprop, accumulate dW in f32 scratch; write
-    at the last grid step."""
+    at the last grid step.
+
+    Head gradients avoid ALL matmuls with <8-wide dimensions (Mosaic
+    crashes on them): the rgb/sigma head dW are computed TRANSPOSED
+    ((3,128)/(1,256), transposed back outside), and their input
+    cotangents use broadcast-sums over the 3/1-sized axes instead of
+    tiny-K contractions. Extra inputs: w_rgb^T (3,128), w_sig^T (1,256).
+    """
     ws = [r[:] for r in refs[:n_w]]
-    grgb_ref, gsig_ref = refs[n_w], refs[n_w + 1]
-    out_refs = refs[n_w + 2:n_w + 2 + n_w]
-    scratch = refs[n_w + 2 + n_w:]
+    w_rgb_t = refs[n_w][:]          # (3, 128)
+    w_sig_t = refs[n_w + 1][:]      # (1, 256)
+    grgb_ref, gsig_ref = refs[n_w + 2], refs[n_w + 3]
+    out_refs = refs[n_w + 4:n_w + 4 + n_w]
+    scratch = refs[n_w + 4 + n_w:]
 
     i = pl.program_id(0)
     n_prog = pl.num_programs(0)
@@ -175,11 +184,14 @@ def _bwd_kernel(pts_ref, dirs_ref, *refs, compute_dtype, n_w):
 
     grads = [None] * n_w
 
-    # rgb head: rgb = sigmoid(g @ Wrgb + b)
+    # rgb head: rgb = sigmoid(g @ Wrgb + b); dW transposed (3, 128)
     grgb_pre = (grgb * rgb * (1.0 - rgb)).astype(compute_dtype)
-    grads[2 * D + 6] = dotT_ab(g, grgb_pre)
+    grads[2 * D + 6] = dotT_ab(grgb_pre, g)              # (3, 128)^T later
     grads[2 * D + 7] = jnp.sum(grgb_pre, axis=0, keepdims=True)
-    gg = dot_wT(grgb_pre, ws[2 * D + 6])                 # (T, 128)
+    # gg = grgb_pre @ Wrgb^T via broadcast-sum over the 3 channels
+    gg = (grgb_pre[:, 0:1] * w_rgb_t[0:1, :]
+          + grgb_pre[:, 1:2] * w_rgb_t[1:2, :]
+          + grgb_pre[:, 2:3] * w_rgb_t[2:3, :])          # (T, 128)
     gg = (gg * (g > 0)).astype(compute_dtype)
 
     # dir branch: g = relu(din @ Wdir + b)
@@ -188,15 +200,16 @@ def _bwd_kernel(pts_ref, dirs_ref, *refs, compute_dtype, n_w):
     gdin = dot_wT(gg, ws[2 * D + 4])                     # (T, 283)
     gfeat = gdin[:, :W].astype(compute_dtype)
 
-    # feat = h8 @ Wfin + b ; sigma = h8 @ Wsig + b
+    # feat = h8 @ Wfin + b ; sigma = h8 @ Wsig + b (dWsig as (1, 256))
     h_last = acts[-1]
     grads[2 * D] = dotT_ab(h_last, gfeat)
     grads[2 * D + 1] = jnp.sum(gfeat, axis=0, keepdims=True)
     gsig_c = gsig.astype(compute_dtype)
-    grads[2 * D + 2] = dotT_ab(h_last, gsig_c)
+    grads[2 * D + 2] = jnp.sum(h_last.astype(f32) * gsig, axis=0,
+                               keepdims=True)            # (1, 256)
     grads[2 * D + 3] = jnp.sum(gsig_c, axis=0, keepdims=True)
     gh = (dot_wT(gfeat, ws[2 * D])
-          + dot_wT(gsig_c, ws[2 * D + 2])).astype(compute_dtype)
+          + gsig * w_sig_t).astype(compute_dtype)
 
     # trunk, reverse order
     for li in range(D - 1, -1, -1):
@@ -221,11 +234,11 @@ def _bwd_kernel(pts_ref, dirs_ref, *refs, compute_dtype, n_w):
             o[:] = s[:]
 
 
-def _pick_tile(n):
-    # 512 points/tile keeps the bwd recompute working set (8 trunk
-    # activations + dW scratch + weights) well under the 16MB VMEM.
-    for t in (512, 256, 128, 64, 32, 16, 8):
-        if n % t == 0:
+def _pick_tile(n, largest=512):
+    # bwd working set (8 trunk activations + f32 dW scratch + weights)
+    # must stay well under the 16MB VMEM.
+    for t in (largest, 256, 128, 64, 32, 16, 8):
+        if t <= largest and n % t == 0:
             return t
     return n
 
@@ -265,18 +278,29 @@ def _fwd(points, viewdirs, ws, compute_dtype, interpret):
     )(points, viewdirs, *ws)
 
 
+def _grad_shape(idx, w):
+    """dW shapes inside the kernel: rgb/sigma head kernels are emitted
+    transposed to keep >=8-wide leading matmul dims."""
+    if idx in (2 * D + 6, 2 * D + 2):
+        return (w.shape[1], w.shape[0])
+    return tuple(w.shape)
+
+
 def _bwd(points, viewdirs, ws, grgb, gsigma, compute_dtype, interpret):
     n = points.shape[0]
-    t = _pick_tile(n)
+    t = _pick_tile(n, largest=256)
     n_w = len(ws)
     kernel = functools.partial(_bwd_kernel, compute_dtype=compute_dtype,
                                n_w=n_w)
-    w_specs = _weight_specs(ws)
-    out_specs = [pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
-                              memory_space=pltpu.VMEM) for w in ws]
-    out_shape = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
-    scratch = [pltpu.VMEM(w.shape, jnp.float32) for w in ws]
-    return pl.pallas_call(
+    w_rgb_t = jnp.swapaxes(ws[2 * D + 6], 0, 1)   # (3, 128)
+    w_sig_t = jnp.swapaxes(ws[2 * D + 2], 0, 1)   # (1, 256)
+    w_specs = _weight_specs(list(ws) + [w_rgb_t, w_sig_t])
+    g_shapes = [_grad_shape(i, w) for i, w in enumerate(ws)]
+    out_specs = [pl.BlockSpec(s, lambda i, _nd=len(s): (0,) * _nd,
+                              memory_space=pltpu.VMEM) for s in g_shapes]
+    out_shape = [jax.ShapeDtypeStruct(s, jnp.float32) for s in g_shapes]
+    scratch = [pltpu.VMEM(s, jnp.float32) for s in g_shapes]
+    grads = pl.pallas_call(
         kernel,
         grid=(n // t,),
         in_specs=[
@@ -294,7 +318,11 @@ def _bwd(points, viewdirs, ws, grgb, gsigma, compute_dtype, interpret):
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(points, viewdirs, *ws, grgb, gsigma)
+    )(points, viewdirs, *ws, w_rgb_t, w_sig_t, grgb, gsigma)
+    grads = list(grads)
+    for idx in (2 * D + 6, 2 * D + 2):
+        grads[idx] = jnp.swapaxes(grads[idx], 0, 1)
+    return grads
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -319,7 +347,10 @@ def _vjp_fwd(params_flat, points, viewdirs, compute_dtype, interpret):
 def _vjp_bwd(compute_dtype, interpret, residuals, cotangents):
     params_flat, points, viewdirs = residuals
     grgb, gsigma = cotangents
-    grads = _bwd(points, viewdirs, tuple(params_flat), grgb,
+    # weights enter the bwd kernel in the compute dtype (halves their
+    # VMEM footprint); dW still accumulates in f32.
+    ws = tuple(jnp.asarray(w, compute_dtype) for w in params_flat)
+    grads = _bwd(points, viewdirs, ws, grgb,
                  gsigma[:, None], compute_dtype, interpret)
     return (tuple(grads), jnp.zeros_like(points),
             jnp.zeros_like(viewdirs))
