@@ -58,6 +58,11 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
     n_rays = len(next(iter(buffer_np.values())))
     steps_per_epoch = opt.steps_per_epoch or max(
         1, int(np.ceil(n_rays / opt.batch_size)))
+    if np.isfinite(opt.max_dataset_size):
+        # parity: data/__init__.py:142-147 caps samples per epoch
+        steps_per_epoch = min(
+            steps_per_epoch,
+            max(1, int(opt.max_dataset_size) // opt.batch_size))
     print(f"[train] {n_rays} rays, {steps_per_epoch} steps/epoch, "
           f"{opt.n_epochs} epochs, mesh={mesh is not None}")
 
