@@ -185,6 +185,24 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
             print(f"[val e{epoch}] " + " ".join(
                 f"{k}={v:.4g}" for k, v in metrics.items()))
 
+        # epoch-end render of the val_epoch split (parity: train.py's
+        # vis_epoch_freq test render, reference train.py:117-136)
+        if (getattr(opt, "vis_epoch_freq", 0)
+                and epoch % opt.vis_epoch_freq == 0):
+            try:
+                vis_ds = create_dataset(opt, opt.val_epoch_split)
+                metrics = validate(
+                    opt, system, state.params, vis_ds,
+                    out_dir=_vis_dir(opt, epoch,
+                                     opt.val_epoch_split),
+                    max_images=4)
+                writer.add_scalars(metrics, global_step,
+                                   prefix=f"{opt.val_epoch_split}/")
+                print(f"[{opt.val_epoch_split} e{epoch}] " + " ".join(
+                    f"{k}={v:.4g}" for k, v in metrics.items()))
+            except Exception as e:
+                print(f"[train] vis_epoch render skipped: {e}")
+
     writer.close()
     return state
 

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Flagship end-to-end run: LLFF x2 supersampling at the paper's real
+config sizes (504x378 HR from 252x189 LR supervision, batch 512 LR px,
+64+64 samples) on a synthetic COLMAP scene, trained to convergence on
+the TPU, reporting LR/HR PSNR + SSIM.
+
+This validates the full north-star configuration (BASELINE.md) in an
+environment with no real datasets. Usage:
+
+  python tools/flagship_run.py [out_dir] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("out_dir", nargs="?", default="/tmp/flagship")
+    p.add_argument("--steps", type=int, default=6000)
+    p.add_argument("--wh", type=int, nargs=2, default=[504, 378])
+    p.add_argument("--n_imgs", type=int, default=8)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfsr_tpu.config import default_options
+    from nerfsr_tpu.data import create_dataset
+    from nerfsr_tpu.engine import validate
+    from nerfsr_tpu.models import create_model
+
+    w, h = args.wh
+    scene = os.path.join(args.out_dir, "scene")
+    if not os.path.exists(os.path.join(scene, "sparse/0/cameras.bin")):
+        print(f"[flagship] generating synthetic LLFF scene {w}x{h}...")
+        from tools.make_synthetic_llff import make_llff_scene
+        make_llff_scene(scene, hw=(h, w), n_imgs=args.n_imgs)
+
+    opt = default_options(
+        "train", model="nerf_downX", dataset_mode="llff_downX",
+        dataset_root=scene, img_wh=(w, h), downscale=2, batch_size=512,
+        N_coarse=64, N_importance=64, precision="mixed",
+        white_bkgd=False, noise_std=1.0, include_var=True,
+        n_epochs=30, n_epochs_decay=10, lr=5e-4, lr_final=5e-6)
+    system = create_model(opt)
+    ds = create_dataset(opt, "train")
+    t0 = time.time()
+    buf_np = ds.ray_buffer()
+    print(f"[flagship] buffer: {buf_np['rgbs'].shape[0]} LR px "
+          f"({time.time()-t0:.1f}s build)")
+    buf = jax.tree_util.tree_map(jnp.asarray, buf_np)
+    spe = max(1, buf_np["rgbs"].shape[0] // opt.batch_size)
+    state = system.create_state(jax.random.PRNGKey(0),
+                                steps_per_epoch=spe)
+    key = jax.random.PRNGKey(0)
+
+    K = 100
+    steps = 0
+    t0 = time.time()
+    while steps < args.steps:
+        state, losses = system.train_steps_scan(state, buf, K, key)
+        steps += K
+        if steps % 1000 == 0:
+            scal = {k: float(v) for k, v in losses.items()
+                    if k in ("fine_psnr", "fine_psnr_ori", "tot")}
+            hr_rays = opt.batch_size * 4 * steps
+            print(f"[flagship] step {steps}: " + " ".join(
+                f"{k}={v:.3f}" for k, v in scal.items()) +
+                f" ({hr_rays/(time.time()-t0):,.0f} HR rays/s)",
+                flush=True)
+
+    val = create_dataset(opt, "val")
+    metrics = validate(opt, system, state.params, val,
+                       out_dir=os.path.join(args.out_dir, "val_vis"))
+    print("[flagship] FINAL val:", {k: round(v, 3)
+                                    for k, v in metrics.items()})
+    print(f"[flagship] {steps} steps in {time.time()-t0:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
