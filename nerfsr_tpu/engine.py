@@ -159,6 +159,16 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                 state, gan_state, gan_losses = system.gan_step(
                     state, gan_state, patch, key)
                 losses = {**losses, **gan_losses}
+            # TV patch regularization (--reg_patch; reference
+            # regularize_patch hook)
+            if (getattr(opt, "reg_patch", False)
+                    and hasattr(system, "reg_patch_step")
+                    and hasattr(train_ds, "patch_buffer")
+                    and global_step % max(1, opt.reg_patch_freq) < k):
+                pb = train_ds.patch_buffer(gan_rng, 1)[0]
+                pb = jax.tree_util.tree_map(jnp.asarray, pb)
+                state, reg_losses = system.reg_patch_step(state, pb, key)
+                losses = {**losses, **reg_losses}
             if global_step % opt.log_every < k:
                 losses = jax.device_get(losses)
                 scal = {k: float(v) for k, v in losses.items()}

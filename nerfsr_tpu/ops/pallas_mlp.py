@@ -24,15 +24,16 @@ Architecture fixed to the reference VanillaMLP defaults
 branch W/2, sigmoid rgb. The generic flax path remains the fallback for
 other shapes.
 
-STATUS (measured on v5e, 393K pts): the XLA flax path runs fwd 8.8 ms /
-fwd+bwd 23.9 ms; this kernel's fwd is currently ~25 ms — the in-kernel
-positional encoding operates on (T, 3)-shaped tiles whose 3-wide lane
-dimension wastes the VPU, and the 512-pt tile keeps matmuls small. The
-backward kernel compiles in interpreter mode (gradients match flax to
-5e-3, tests/test_pallas.py) but trips an internal Mosaic compiler error
-on-device. It therefore stays OPT-IN (--use_pallas_mlp) and is NOT used
-by the benchmark path; layout work (T-on-lanes posenc, larger fwd
-tiles) is the known follow-up.
+STATUS (measured on v5e, 393K pts): XLA flax path fwd 8.8 ms / fwd+bwd
+23.9 ms. Kernel fwd was 25 ms with in-kernel posenc ((T,3) tiles waste
+the VPU); moving the encoding outside (v2, current) brings it to
+9.9 ms ~= XLA — both sit at ~57 TFLOP/s, i.e. XLA already achieves the
+practical matmul throughput for these shapes and activation-fusion buys
+nothing further. The backward kernel matches flax gradients to 5e-3 in
+interpreter mode (tests/test_pallas.py) but still trips an opaque
+remote-Mosaic 500 on-device (tiny-dim matmuls were eliminated; single
+tile still fails — bisection notes in CLAUDE.md). Stays OPT-IN
+(--use_pallas_mlp); the benchmark path uses the XLA MLP.
 """
 
 from __future__ import annotations
@@ -93,12 +94,15 @@ def _posenc(x, n_freqs):
     return jnp.concatenate(parts, axis=-1)
 
 
-def _fwd_pass(pts, dirs, ws, compute_dtype):
-    """Shared forward math; returns rgb, sigma and (when asked by the
-    bwd kernel) every intermediate activation."""
+def _fwd_pass(x0_in, dmb_in, ws, compute_dtype):
+    """Shared forward math on PRE-EMBEDDED inputs (the positional
+    encoding runs outside the kernel in XLA: its many (T, 3)-shaped
+    sin/cos ops have 3-wide lane tiles that waste the VPU in Mosaic —
+    measured 3x slower in-kernel). Returns rgb, sigma and every
+    intermediate activation for the bwd recompute."""
     f32 = jnp.float32
-    x0 = _posenc(pts, DEG_POS).astype(compute_dtype)        # (T, 63)
-    dmb = _posenc(dirs, DEG_DIR).astype(compute_dtype)      # (T, 27)
+    x0 = x0_in.astype(compute_dtype)                        # (T, 63)
+    dmb = dmb_in.astype(compute_dtype)                      # (T, 27)
 
     def dot(a, w):
         return jax.lax.dot_general(
@@ -250,17 +254,24 @@ def _weight_specs(ws):
                          memory_space=pltpu.VMEM) for w in ws]
 
 
+def _embed(points, viewdirs):
+    from nerfsr_tpu.core.encoding import positional_encoding
+    return (positional_encoding(points, DEG_POS),
+            positional_encoding(viewdirs, DEG_DIR))
+
+
 def _fwd(points, viewdirs, ws, compute_dtype, interpret):
     n = points.shape[0]
-    t = _pick_tile(n)
+    t = _pick_tile(n, largest=1024)
     kernel = functools.partial(_fwd_kernel, compute_dtype=compute_dtype)
+    x0, dmb = _embed(points, viewdirs)
     return pl.pallas_call(
         kernel,
         grid=(n // t,),
         in_specs=[
-            pl.BlockSpec((t, 3), lambda i: (i, 0),
+            pl.BlockSpec((t, C_POS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 3), lambda i: (i, 0),
+            pl.BlockSpec((t, C_DIR), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *_weight_specs(ws),
         ],
@@ -275,7 +286,7 @@ def _fwd(points, viewdirs, ws, compute_dtype, interpret):
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(points, viewdirs, *ws)
+    )(x0, dmb, *ws)
 
 
 def _grad_shape(idx, w):
@@ -294,6 +305,7 @@ def _bwd(points, viewdirs, ws, grgb, gsigma, compute_dtype, interpret):
                                n_w=n_w)
     w_rgb_t = jnp.swapaxes(ws[2 * D + 6], 0, 1)   # (3, 128)
     w_sig_t = jnp.swapaxes(ws[2 * D + 2], 0, 1)   # (1, 256)
+    x0, dmb = _embed(points, viewdirs)
     w_specs = _weight_specs(list(ws) + [w_rgb_t, w_sig_t])
     g_shapes = [_grad_shape(i, w) for i, w in enumerate(ws)]
     out_specs = [pl.BlockSpec(s, lambda i, _nd=len(s): (0,) * _nd,
@@ -304,9 +316,9 @@ def _bwd(points, viewdirs, ws, grgb, gsigma, compute_dtype, interpret):
         kernel,
         grid=(n // t,),
         in_specs=[
-            pl.BlockSpec((t, 3), lambda i: (i, 0),
+            pl.BlockSpec((t, C_POS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 3), lambda i: (i, 0),
+            pl.BlockSpec((t, C_DIR), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *w_specs,
             pl.BlockSpec((t, 3), lambda i: (i, 0),
@@ -318,7 +330,7 @@ def _bwd(points, viewdirs, ws, grgb, gsigma, compute_dtype, interpret):
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(points, viewdirs, *ws, w_rgb_t, w_sig_t, grgb, gsigma)
+    )(x0, dmb, *ws, w_rgb_t, w_sig_t, grgb, gsigma)
     grads = list(grads)
     for idx in (2 * D + 6, 2 * D + 2):
         grads[idx] = jnp.swapaxes(grads[idx], 0, 1)
