@@ -182,13 +182,19 @@ def ssim(img0, img1, max_val: float = 1.0, filter_size: int = 11,
 
     def blur(x):
         # separable conv along H then W, per channel (depthwise, done via
-        # moving the channel into the batch).
+        # moving the channel into the batch). precision=HIGHEST matters:
+        # TPU convs default to bf16 multiplies, which perturbs the
+        # covariance estimates enough to break the SSIM<=1 bound
+        # (observed mean SSIM 1.046 on-device before the fix).
         n, h, w, c = x.shape
+        hi = jax.lax.Precision.HIGHEST
         xt = x.transpose(0, 3, 1, 2).reshape(n * c, 1, h, w)
         kh = kernel.reshape(1, 1, filter_size, 1)
         kw = kernel.reshape(1, 1, 1, filter_size)
-        y = jax.lax.conv_general_dilated(xt, kh, (1, 1), "VALID")
-        y = jax.lax.conv_general_dilated(y, kw, (1, 1), "VALID")
+        y = jax.lax.conv_general_dilated(xt, kh, (1, 1), "VALID",
+                                         precision=hi)
+        y = jax.lax.conv_general_dilated(y, kw, (1, 1), "VALID",
+                                         precision=hi)
         hh, ww = y.shape[-2:]
         return y.reshape(n, c, hh, ww).transpose(0, 2, 3, 1)
 

@@ -241,7 +241,7 @@ def _bwd_kernel(pts_ref, dirs_ref, *refs, compute_dtype, n_w):
 def _pick_tile(n, largest=512):
     # bwd working set (8 trunk activations + f32 dW scratch + weights)
     # must stay well under the 16MB VMEM.
-    for t in (largest, 256, 128, 64, 32, 16, 8):
+    for t in (largest, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
         if t <= largest and n % t == 0:
             return t
     return n
