@@ -122,6 +122,7 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
 
     global_step = int(state.step)
     t_start = time.time()
+    last_log_step, last_log_time = global_step, t_start
     rays_per_batch = _rays_per_batch(opt, buffer_np)
 
     for epoch in range(start_epoch + 1, opt.n_epochs + 1):
@@ -172,11 +173,11 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
             if global_step % opt.log_every < k:
                 losses = jax.device_get(losses)
                 scal = {k: float(v) for k, v in losses.items()}
-                elapsed = time.time() - t_start
+                now = time.time()
                 scal["rays_per_sec"] = (
-                    opt.log_every * rays_per_batch /
-                    max(elapsed - getattr(train, "_t_last", 0), 1e-9))
-                train._t_last = elapsed
+                    (global_step - last_log_step) * rays_per_batch /
+                    max(now - last_log_time, 1e-9))
+                last_log_step, last_log_time = global_step, now
                 writer.add_scalars(scal, global_step, prefix="train/")
                 print(f"[e{epoch} s{global_step}] " + " ".join(
                     f"{k}={v:.4g}" for k, v in scal.items()))
