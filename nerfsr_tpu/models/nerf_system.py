@@ -453,6 +453,32 @@ class NeRFSystem:
             keep += ["fine_rgb", "fine_depth", "fine_opacity"]
         return {k: out[k] for k in keep}
 
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def eval_image_device(self, params, rays, chunk: int):
+        """Render a whole (padded) image ON DEVICE: ``lax.map`` over
+        fixed-size chunks, ONE dispatch + ONE host readback per image.
+
+        Through the axon tunnel a host-chunked loop pays ~0.5s of
+        dispatch+readback per chunk; this path cut a 504x378 render from
+        2.6s to the device time.
+        """
+        n = rays["origins"].shape[0]
+        n_chunks = n // chunk
+        stacked = {k: v.reshape((n_chunks, chunk) + v.shape[1:])
+                   for k, v in rays.items()}
+
+        def render_chunk(sl):
+            r = self._batch_to_rays(sl)
+            out = self.render(params, r, jax.random.PRNGKey(0),
+                              randomized=False)
+            keep = ["coarse_rgb", "coarse_depth", "coarse_opacity"]
+            if "fine_rgb" in out:
+                keep += ["fine_rgb", "fine_depth", "fine_opacity"]
+            return {k: out[k] for k in keep}
+
+        out = jax.lax.map(render_chunk, stacked)
+        return {k: v.reshape((n,) + v.shape[2:]) for k, v in out.items()}
+
     # ------------------------------------------------------------------
     # eval metrics / visuals (consumed by the engine loops)
     # ------------------------------------------------------------------
@@ -510,23 +536,19 @@ class NeRFSystem:
         if chunk is None:
             chunk = max(4096, self.opt.ray_chunk)
             if jax.default_backend() != "cpu":
-                # TPU eval: fewer, larger dispatches (a 32K-ray chunk at
+                # TPU eval: fewer, larger chunks (a 32K-ray chunk at
                 # 192 samples is ~4.5M points — well within HBM)
                 chunk = max(chunk, 32768)
         n = rays_np["origins"].shape[0]
-        outs = []
-        for start in range(0, n, chunk):
-            end = min(start + chunk, n)
-            sl = {k: v[start:end] for k, v in rays_np.items()
-                  if k != "rgbs"}
-            pad = chunk - (end - start)
-            if pad:
-                sl = {k: np.concatenate(
-                    [v, np.repeat(v[-1:], pad, axis=0)]) for k, v in
-                    sl.items()}
-            out = self.eval_chunk(params, sl)
-            out = jax.tree_util.tree_map(np.asarray, out)
-            if pad:
-                out = {k: v[: end - start] for k, v in out.items()}
-            outs.append(out)
-        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        fields = {k: np.asarray(v) for k, v in rays_np.items()
+                  if k in ("origins", "directions", "viewdirs", "near",
+                           "far")}
+        pad = (-n) % chunk
+        if pad:
+            fields = {k: np.concatenate(
+                [v, np.repeat(v[-1:], pad, axis=0)]) for k, v in
+                fields.items()}
+        out = self.eval_image_device(
+            params, jax.tree_util.tree_map(jnp.asarray, fields), chunk)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        return {k: v[:n] for k, v in out.items()}

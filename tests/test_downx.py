@@ -166,3 +166,62 @@ class TestDownXSystem:
         state, losses = sys_.reg_patch_step(state, batch,
                                             jax.random.PRNGKey(4))
         assert np.isfinite(float(losses["patch"]))
+
+
+class TestLLFFDownXOptions:
+    @pytest.fixture(scope="class")
+    def llff_scene(self, tmp_path_factory):
+        from tools.make_synthetic_llff import make_llff_scene
+        d = tmp_path_factory.mktemp("llff_dx")
+        make_llff_scene(str(d), hw=(24, 24), n_imgs=4)
+        return str(d)
+
+    def _opt(self, scene, **kw):
+        base = dict(dataset_mode="llff_downX", dataset_root=scene,
+                    img_wh=(24, 24), downscale=2, model="nerf_downX")
+        base.update(kw)
+        from nerfsr_tpu.config import default_options
+        return default_options("train", **base)
+
+    def test_unified_dir_repeats_lr_grid(self, llff_scene):
+        from nerfsr_tpu.data import create_dataset
+
+        ds = create_dataset(self._opt(llff_scene, unified_dir=True),
+                            "train")
+        d = ds.directions  # (24, 24, 3) HR grid of repeated LR dirs
+        np.testing.assert_allclose(d[0, 0], d[0, 1], atol=1e-7)
+        np.testing.assert_allclose(d[0, 0], d[1, 1], atol=1e-7)
+        assert not np.allclose(d[0, 0], d[0, 2])
+
+    def test_sisr_supervision_buffer(self, llff_scene, tmp_path):
+        from PIL import Image
+        from nerfsr_tpu.data import create_dataset
+
+        sisr = tmp_path / "sisr"
+        sisr.mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(4):
+            Image.fromarray((rng.rand(24, 24, 3) * 255).astype(
+                np.uint8)).save(sisr / f"{i:03d}.png")
+        ds = create_dataset(
+            self._opt(llff_scene, sisr_path=str(sisr)), "train")
+        buf = ds.ray_buffer()
+        assert "rgbs_sr" in buf
+        assert buf["rgbs_sr"].shape == buf["rgbs_ori"].shape
+
+    def test_use_subset(self, llff_scene):
+        from nerfsr_tpu.data import create_dataset
+
+        ds = create_dataset(
+            self._opt(llff_scene, use_subset=True, subset_num=2,
+                      include_var=True), "train")
+        buf = ds.ray_buffer()
+        assert buf["rgbs"].shape[0] == 2 * 12 * 12
+
+    def test_ref_buffer_flat(self, llff_scene):
+        from nerfsr_tpu.data import create_dataset
+
+        ds = create_dataset(self._opt(llff_scene), "train")
+        ref = ds.ref_buffer()
+        assert ref["origins"].shape == (24 * 24, 3)
+        assert ref["rgbs"].shape == (24 * 24, 3)
