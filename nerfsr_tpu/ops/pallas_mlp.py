@@ -26,13 +26,17 @@ other shapes.
 
 STATUS (measured on v5e, 393K pts): XLA flax path fwd 8.8 ms / fwd+bwd
 23.9 ms. Kernel fwd was 25 ms with in-kernel posenc ((T,3) tiles waste
-the VPU); moving the encoding outside (v2, current) brings it to
-9.9 ms ~= XLA — both sit at ~57 TFLOP/s, i.e. XLA already achieves the
-practical matmul throughput for these shapes and activation-fusion buys
-nothing further. The backward kernel matches flax gradients to 5e-3 in
-interpreter mode (tests/test_pallas.py) but still trips an opaque
-remote-Mosaic 500 on-device (tiny-dim matmuls were eliminated; single
-tile still fails — bisection notes in CLAUDE.md). Stays OPT-IN
+the VPU); moving the encoding outside (v2) brings it to 9.9 ms ~= XLA —
+both sit at ~57 TFLOP/s, i.e. XLA already achieves the practical matmul
+throughput for these shapes. The v3 backward below is fully
+tile-aligned (pre-split skip/dir weights — no 319/283 concats, no
+activation slices, >=8-row outputs, zero-padded 64/32-lane inputs) and
+matches flax gradients to 5e-3 in interpreter mode
+(tests/test_pallas.py). On-device it still crashes the environment's
+remote AOT Mosaic compiler (opaque HTTP 500) even single-tile, while
+EVERY constituent op — narrow transposed dots, 26-output scratch
+accumulation, the full forward — compiles standalone: the combined
+program trips an internal compiler limit. Stays OPT-IN
 (--use_pallas_mlp); the benchmark path uses the XLA MLP.
 """
 
@@ -143,101 +147,6 @@ def _fwd_kernel(pts_ref, dirs_ref, *refs, compute_dtype):
     sigma_ref[:] = sigma
 
 
-def _bwd_kernel(pts_ref, dirs_ref, *refs, compute_dtype, n_w):
-    """Recompute forward, backprop, accumulate dW in f32 scratch; write
-    at the last grid step.
-
-    Head gradients avoid ALL matmuls with <8-wide dimensions (Mosaic
-    crashes on them): the rgb/sigma head dW are computed TRANSPOSED
-    ((3,128)/(1,256), transposed back outside), and their input
-    cotangents use broadcast-sums over the 3/1-sized axes instead of
-    tiny-K contractions. Extra inputs: w_rgb^T (3,128), w_sig^T (1,256).
-    """
-    ws = [r[:] for r in refs[:n_w]]
-    w_rgb_t = refs[n_w][:]          # (3, 128)
-    w_sig_t = refs[n_w + 1][:]      # (1, 256)
-    grgb_ref, gsig_ref = refs[n_w + 2], refs[n_w + 3]
-    out_refs = refs[n_w + 4:n_w + 4 + n_w]
-    scratch = refs[n_w + 4 + n_w:]
-
-    i = pl.program_id(0)
-    n_prog = pl.num_programs(0)
-
-    @pl.when(i == 0)
-    def _init():
-        for s in scratch:
-            s[:] = jnp.zeros_like(s)
-
-    rgb, _, (x0, dmb, acts, feat, din, g) = _fwd_pass(
-        pts_ref[:], dirs_ref[:], ws, compute_dtype)
-
-    f32 = jnp.float32
-
-    def dotT_ab(a, b):
-        # a^T @ b contracting the point axis: (Ca, T) x (T, Cb)
-        return jax.lax.dot_general(
-            a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-
-    def dot_wT(a, w):
-        # a @ w^T: contract last axis of a with last axis of w
-        return jax.lax.dot_general(
-            a, w, (((1,), (1,)), ((), ())), preferred_element_type=f32)
-
-    grgb = grgb_ref[:]
-    gsig = gsig_ref[:]
-
-    grads = [None] * n_w
-
-    # rgb head: rgb = sigmoid(g @ Wrgb + b); dW transposed (3, 128)
-    grgb_pre = (grgb * rgb * (1.0 - rgb)).astype(compute_dtype)
-    grads[2 * D + 6] = dotT_ab(grgb_pre, g)              # (3, 128)^T later
-    grads[2 * D + 7] = jnp.sum(grgb_pre, axis=0, keepdims=True)
-    # gg = grgb_pre @ Wrgb^T via broadcast-sum over the 3 channels
-    gg = (grgb_pre[:, 0:1] * w_rgb_t[0:1, :]
-          + grgb_pre[:, 1:2] * w_rgb_t[1:2, :]
-          + grgb_pre[:, 2:3] * w_rgb_t[2:3, :])          # (T, 128)
-    gg = (gg * (g > 0)).astype(compute_dtype)
-
-    # dir branch: g = relu(din @ Wdir + b)
-    grads[2 * D + 4] = dotT_ab(din, gg)
-    grads[2 * D + 5] = jnp.sum(gg, axis=0, keepdims=True)
-    gdin = dot_wT(gg, ws[2 * D + 4])                     # (T, 283)
-    gfeat = gdin[:, :W].astype(compute_dtype)
-
-    # feat = h8 @ Wfin + b ; sigma = h8 @ Wsig + b (dWsig as (1, 256))
-    h_last = acts[-1]
-    grads[2 * D] = dotT_ab(h_last, gfeat)
-    grads[2 * D + 1] = jnp.sum(gfeat, axis=0, keepdims=True)
-    gsig_c = gsig.astype(compute_dtype)
-    grads[2 * D + 2] = jnp.sum(h_last.astype(f32) * gsig, axis=0,
-                               keepdims=True)            # (1, 256)
-    grads[2 * D + 3] = jnp.sum(gsig_c, axis=0, keepdims=True)
-    gh = (dot_wT(gfeat, ws[2 * D])
-          + gsig * w_sig_t).astype(compute_dtype)
-
-    # trunk, reverse order
-    for li in range(D - 1, -1, -1):
-        h_in = x0 if li == 0 else acts[li - 1]
-        if li == SKIP:
-            h_in = jnp.concatenate([x0, h_in], axis=-1)
-        gh = (gh * (acts[li] > 0)).astype(compute_dtype)
-        grads[2 * li] = dotT_ab(h_in, gh)
-        grads[2 * li + 1] = jnp.sum(gh, axis=0, keepdims=True)
-        if li > 0:
-            gh_full = dot_wT(gh, ws[2 * li])
-            if li == SKIP:
-                gh_full = gh_full[:, C_POS:]
-            gh = gh_full
-
-    for s, gval in zip(scratch, grads):
-        s[:] += gval
-
-    @pl.when(i == n_prog - 1)
-    def _write():
-        for o, s in zip(out_refs, scratch):
-            o[:] = s[:]
-
-
 def _pick_tile(n, largest=512):
     # bwd working set (8 trunk activations + f32 dW scratch + weights)
     # must stay well under the 16MB VMEM.
@@ -289,51 +198,267 @@ def _fwd(points, viewdirs, ws, compute_dtype, interpret):
     )(x0, dmb, *ws)
 
 
-def _grad_shape(idx, w):
-    """dW shapes inside the kernel: rgb/sigma head kernels are emitted
-    transposed to keep >=8-wide leading matmul dims."""
-    if idx in (2 * D + 6, 2 * D + 2):
-        return (w.shape[1], w.shape[0])
-    return tuple(w.shape)
+# ---------------------------------------------------------------------------
+# backward (v3): every kernel tensor is tile-aligned.
+#
+# Mosaic bisection showed the crash survives tiny-dim-matmul removal; the
+# remaining unaligned citizens were the 319/283-wide skip/dir concats, the
+# (T, 283)[:, :256] activation slice, and 1/3-row outputs. v3 removes them
+# ALL: the skip and dir-branch weights enter PRE-SPLIT (concat-matmul ==
+# sum of two matmuls), inputs are zero-padded to 64/32 lanes, and every
+# dW/db output is emitted at >=8-row aligned shapes (padding stripped
+# outside the kernel).
+# ---------------------------------------------------------------------------
+
+C_POS_P = 64   # x0 padded
+C_DIR_P = 32   # dir emb padded
+PAD8 = 8
+
+
+def _rowpad(vec, rows=PAD8):
+    """(C,) row vector -> (rows, C) with the value in row 0 (pure concat,
+    no scatter)."""
+    v = vec[None, :]
+    return jnp.concatenate(
+        [v, jnp.zeros((rows - 1, v.shape[1]), v.dtype)], axis=0)
+
+
+def _bwd_kernel_v3(x0_ref, dmb_ref, grgb_ref, gsig_ref, *refs,
+                   compute_dtype):
+    """refs layout: 9 trunk kernels (li0..3, skip_x, skip_h, li5..7),
+    w_fin, wdir_feat, wdir_d, w_rgb8, w_rgb_t8, w_sig_t,
+    b1..b8, b_fin, b_dir, b_rgb8  (18 biases-ish: 8 trunk + fin + dir +
+    rgb8) -> then 24 outputs -> then 24 scratch (same shapes)."""
+    f32 = jnp.float32
+    cd = compute_dtype
+    n_w_in = 9 + 6 + 11               # trunk + head weights + biases
+    wk = [r[:] for r in refs[:9]]     # trunk kernels (split skip)
+    w_fin, wdir_feat, wdir_d, w_rgb8, w_rgb_t8 = \
+        (r[:] for r in refs[9:14])
+    w_sig_t = refs[14][:]
+    biases = [r[:] for r in refs[15:15 + 11]]  # b1..b8, bfin, bdir, brgb8
+    n_out = (len(refs) - n_w_in) // 2
+    out_refs = refs[n_w_in:n_w_in + n_out]
+    scratch = refs[n_w_in + n_out:]
+
+    i = pl.program_id(0)
+    n_prog = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for s in scratch:
+            s[:] = jnp.zeros_like(s)
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a, w, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+    def dotT(a, b):
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+
+    def dot_wT(a, w):
+        return jax.lax.dot_general(
+            a, w, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+    # ---- forward recompute (split weights, padded inputs) ----
+    x0 = x0_ref[:].astype(cd)         # (T, 64)
+    dmb = dmb_ref[:].astype(cd)       # (T, 32)
+    acts = []
+    h = x0
+    ki = 0
+    for li in range(D):
+        if li == SKIP:
+            pre = dot(x0, wk[ki]) + dot(h, wk[ki + 1]) + biases[li]
+            ki += 2
+        else:
+            pre = dot(h, wk[ki]) + biases[li]
+            ki += 1
+        h = jnp.maximum(pre, 0.0).astype(cd)
+        acts.append(h)
+    feat = (dot(h, w_fin) + biases[8]).astype(cd)
+    g = jnp.maximum(
+        dot(feat, wdir_feat) + dot(dmb, wdir_d) + biases[9],
+        0.0).astype(cd)
+    rgb8 = jax.nn.sigmoid(dot(g, w_rgb8) + biases[10])   # (T, 8)
+
+    # ---- backward ----
+    grgb8 = grgb_ref[:]               # (T, 8), cols>=3 zero
+    gsig8 = gsig_ref[:]               # (T, 8), col 0 real
+
+    grads = []
+    grgb_pre = (grgb8 * rgb8 * (1.0 - rgb8)).astype(cd)
+    dwrgbT8 = dotT(grgb_pre, g)                       # (8, 128)
+    dbrgb8 = _rowpad(jnp.sum(grgb_pre, axis=0))       # (8, 8)
+    gg = (grgb_pre[:, 0:1] * w_rgb_t8[0:1, :]
+          + grgb_pre[:, 1:2] * w_rgb_t8[1:2, :]
+          + grgb_pre[:, 2:3] * w_rgb_t8[2:3, :])
+    gg = (gg * (g > 0)).astype(cd)
+
+    dwdir_feat = dotT(feat, gg)                       # (256, 128)
+    dwdir_d = dotT(dmb, gg)                           # (32, 128)
+    dbdir8 = _rowpad(jnp.sum(gg, axis=0))             # (8, 128)
+    gfeat = dot_wT(gg, wdir_feat).astype(cd)          # (T, 256)
+
+    h_last = acts[-1]
+    dwfin = dotT(h_last, gfeat)                       # (256, 256)
+    dbfin8 = _rowpad(jnp.sum(gfeat, axis=0))          # (8, 256)
+    gsig_col = gsig8[:, 0:1]                          # (T, 1)
+    dwsigT8 = _rowpad(jnp.sum(h_last.astype(f32) * gsig_col,
+                              axis=0))                # (8, 256)
+    dbsig8 = _rowpad(jnp.sum(gsig8, axis=0))          # (8, 8) col0 real
+    gh = (dot_wT(gfeat, w_fin)
+          + gsig_col * w_sig_t).astype(cd)            # (T, 256)
+
+    trunk_grads = []
+    ki = 9
+    for li in range(D - 1, -1, -1):
+        gh = (gh * (acts[li] > 0)).astype(cd)
+        db8 = _rowpad(jnp.sum(gh, axis=0))            # (8, 256)
+        if li == SKIP:
+            h_prev = acts[li - 1]
+            dwx = dotT(x0, gh)                        # (64, 256)
+            dwh = dotT(h_prev, gh)                    # (256, 256)
+            trunk_grads.append((li, [dwx, dwh, db8]))
+            gh = dot_wT(gh, wk[SKIP + 1])             # via skip_h part
+        else:
+            h_in = x0 if li == 0 else acts[li - 1]
+            dw = dotT(h_in, gh)
+            trunk_grads.append((li, [dw, db8]))
+            if li > 0:
+                w_idx = li if li < SKIP else li + 1   # split-skip offset
+                gh = dot_wT(gh, wk[w_idx])
+
+    # flatten in ascending layer order, then heads — must match the
+    # wrapper's output unpacking
+    grads = []
+    for li, gs in sorted(trunk_grads):
+        grads.extend(gs)
+    grads.extend([dwfin, dbfin8, dwsigT8, dbsig8,
+                  dwdir_feat, dwdir_d, dbdir8, dwrgbT8, dbrgb8])
+
+    for s, gval in zip(scratch, grads):
+        s[:] += gval
+
+    @pl.when(i == n_prog - 1)
+    def _write():
+        for o, s in zip(out_refs, scratch):
+            o[:] = s[:]
+
+
+def _pad_cols(x, total):
+    pad = total - x.shape[-1]
+    if pad <= 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+
+
+def _pad_rows(x, total):
+    pad = total - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
 
 
 def _bwd(points, viewdirs, ws, grgb, gsigma, compute_dtype, interpret):
+    """Prepare aligned/split inputs, run the v3 kernel, reassemble the
+    standard flat gradient list."""
     n = points.shape[0]
     t = _pick_tile(n, largest=256)
-    n_w = len(ws)
-    kernel = functools.partial(_bwd_kernel, compute_dtype=compute_dtype,
-                               n_w=n_w)
-    w_rgb_t = jnp.swapaxes(ws[2 * D + 6], 0, 1)   # (3, 128)
-    w_sig_t = jnp.swapaxes(ws[2 * D + 2], 0, 1)   # (1, 256)
     x0, dmb = _embed(points, viewdirs)
-    w_specs = _weight_specs(list(ws) + [w_rgb_t, w_sig_t])
-    g_shapes = [_grad_shape(i, w) for i, w in enumerate(ws)]
-    out_specs = [pl.BlockSpec(s, lambda i, _nd=len(s): (0,) * _nd,
-                              memory_space=pltpu.VMEM) for s in g_shapes]
-    out_shape = [jax.ShapeDtypeStruct(s, jnp.float32) for s in g_shapes]
-    scratch = [pltpu.VMEM(s, jnp.float32) for s in g_shapes]
-    grads = pl.pallas_call(
+    x0p = _pad_cols(x0, C_POS_P)
+    dmbp = _pad_cols(dmb, C_DIR_P)
+    grgb8 = _pad_cols(grgb, PAD8)
+    gsig8 = _pad_cols(gsigma, PAD8)
+
+    cd = compute_dtype
+    kernels = [jnp.asarray(ws[2 * li], cd) for li in range(D)]
+    biases = [jnp.asarray(ws[2 * li + 1], cd) for li in range(D)]
+    # split + pad trunk kernels
+    trunk = [_pad_rows(kernels[0], C_POS_P)]          # li0 (64, 256)
+    trunk += [kernels[li] for li in range(1, SKIP)]
+    trunk += [_pad_rows(kernels[SKIP][:C_POS], C_POS_P),   # skip_x
+              kernels[SKIP][C_POS:]]                        # skip_h
+    trunk += [kernels[li] for li in range(SKIP + 1, D)]
+    w_fin = jnp.asarray(ws[2 * D], cd)
+    b_fin = jnp.asarray(ws[2 * D + 1], cd)
+    w_sig = jnp.asarray(ws[2 * D + 2], cd)            # (256, 1)
+    w_dir = jnp.asarray(ws[2 * D + 4], cd)            # (283, 128)
+    b_dir = jnp.asarray(ws[2 * D + 5], cd)
+    w_rgb = jnp.asarray(ws[2 * D + 6], cd)            # (128, 3)
+    b_rgb = jnp.asarray(ws[2 * D + 7], cd)            # (1, 3)
+    wdir_feat = w_dir[:W]
+    wdir_d = _pad_rows(w_dir[W:], C_DIR_P)
+    w_rgb8 = _pad_cols(w_rgb, PAD8)                   # (128, 8)
+    w_rgb_t8 = _pad_rows(jnp.swapaxes(w_rgb, 0, 1), PAD8)  # (8, 128)
+    w_sig_t = jnp.swapaxes(w_sig, 0, 1)               # (1, 256)
+    b_rgb8 = _pad_cols(b_rgb, PAD8)
+
+    w_inputs = trunk + [w_fin, wdir_feat, wdir_d, w_rgb8, w_rgb_t8,
+                        w_sig_t] + biases + [b_fin, b_dir, b_rgb8]
+
+    # output shapes, ascending trunk order then heads (kernel order)
+    out_shapes = []
+    for li in range(D):
+        if li == SKIP:
+            out_shapes += [(C_POS_P, W), (W, W), (PAD8, W)]
+        elif li == 0:
+            out_shapes += [(C_POS_P, W), (PAD8, W)]
+        else:
+            out_shapes += [(W, W), (PAD8, W)]
+    out_shapes += [(W, W), (PAD8, W),            # fin
+                   (PAD8, W), (PAD8, PAD8),      # sigma (dwT, db)
+                   (W, W_HALF), (C_DIR_P, W_HALF), (PAD8, W_HALF),  # dir
+                   (PAD8, W_HALF), (PAD8, PAD8)]  # rgb (dwT8, db8)
+
+    kernel = functools.partial(_bwd_kernel_v3, compute_dtype=cd)
+    data_specs = [
+        pl.BlockSpec((t, C_POS_P), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, C_DIR_P), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, PAD8), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, PAD8), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out = pl.pallas_call(
         kernel,
         grid=(n // t,),
-        in_specs=[
-            pl.BlockSpec((t, C_POS), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, C_DIR), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            *w_specs,
-            pl.BlockSpec((t, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
+        in_specs=data_specs + _weight_specs(w_inputs),
+        out_specs=[pl.BlockSpec(s, lambda i, _nd=len(s): (0,) * _nd,
+                                memory_space=pltpu.VMEM)
+                   for s in out_shapes],
+        out_shape=[jax.ShapeDtypeStruct(s, jnp.float32)
+                   for s in out_shapes],
+        scratch_shapes=[pltpu.VMEM(s, jnp.float32) for s in out_shapes],
         interpret=interpret,
-    )(x0, dmb, *ws, w_rgb_t, w_sig_t, grgb, gsigma)
-    grads = list(grads)
-    for idx in (2 * D + 6, 2 * D + 2):
-        grads[idx] = jnp.swapaxes(grads[idx], 0, 1)
+    )(x0p, dmbp, grgb8, gsig8, *w_inputs)
+
+    # reassemble the standard flat grads (kernel, bias) x PARAM_NAMES
+    out = list(out)
+    grads = []
+    oi = 0
+    for li in range(D):
+        if li == SKIP:
+            dwx, dwh, db8 = out[oi:oi + 3]
+            oi += 3
+            grads += [jnp.concatenate([dwx[:C_POS], dwh], axis=0),
+                      db8[0:1]]
+        else:
+            dw, db8 = out[oi:oi + 2]
+            oi += 2
+            dw = dw[:C_POS] if li == 0 else dw
+            grads += [dw, db8[0:1]]
+    dwfin, dbfin8, dwsigT8, dbsig8, dwdf, dwdd, dbdir8, dwrgbT8, \
+        dbrgb8 = out[oi:oi + 9]
+    grads += [dwfin, dbfin8[0:1]]
+    grads += [jnp.swapaxes(dwsigT8[0:1], 0, 1), dbsig8[0:1, 0:1]]
+    grads += [jnp.concatenate([dwdf, dwdd[:C_DIR]], axis=0),
+              dbdir8[0:1]]
+    grads += [jnp.swapaxes(dwrgbT8[0:3], 0, 1), dbrgb8[0:1, 0:3]]
     return grads
 
 
