@@ -81,7 +81,7 @@ class NeRFDownXSystem(NeRFSystem):
         opt = self.opt
         ds2 = self.ds2
         rays = self._flat_rays(batch)
-        out = self.render(params, rays, key, randomized=True)
+        out = self.render(params, rays, key, randomized=bool(self.opt.randomized))
 
         lr_rgbs = batch["rgbs"]                   # (B, 3)
         losses: Dict[str, Any] = {}
@@ -163,7 +163,7 @@ class NeRFDownXSystem(NeRFSystem):
 
         def loss_fn(params):
             rays = self._flat_rays(patch_batch)
-            out = self.render(params, rays, step_key, randomized=True)
+            out = self.render(params, rays, step_key, randomized=bool(self.opt.randomized))
             loss = 0.0
             for level in ("coarse_rgb", "fine_rgb"):
                 if level in out:
@@ -220,7 +220,7 @@ class NeRFDownXSystem(NeRFSystem):
 
         def render_patch(params):
             rays = self._batch_to_rays(flat)
-            out = self.render(params, rays, step_key, randomized=True)
+            out = self.render(params, rays, step_key, randomized=bool(self.opt.randomized))
             return out["fine_rgb"].reshape(1, plen, plen, 3)
 
         def d_in(x):

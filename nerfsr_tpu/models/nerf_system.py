@@ -227,7 +227,7 @@ class NeRFSystem:
         the reference image (parity: ``models/nerf_model.py:267-270``,
         gated by --with_ref / --no_ref_loss)."""
         rays = self._batch_to_rays(ref_batch)
-        out = self.render(params, rays, key, randomized=True)
+        out = self.render(params, rays, key, randomized=bool(self.opt.randomized))
         scale = 1.0 / (self.opt.downscale ** 2)
         losses = {}
         tot = 0.0
@@ -279,7 +279,7 @@ class NeRFSystem:
     def _loss_fn(self, params, batch, key):
         """Render + losses for one batch (overridable by subclasses)."""
         rays = self._batch_to_rays(batch)
-        out = self.render(params, rays, key, randomized=True)
+        out = self.render(params, rays, key, randomized=bool(self.opt.randomized))
         return self.compute_losses(out, batch)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
@@ -357,7 +357,7 @@ class NeRFSystem:
 
         def loss_fn(params):
             rays = self._batch_to_rays(flat)
-            out = self.render(params, rays, k_render, randomized=True)
+            out = self.render(params, rays, k_render, randomized=bool(self.opt.randomized))
             loss, losses = self.compute_losses(out, flat)
             # edge-aware depth smoothness over patches (:276-290)
             rgb_p = flat["rgbs"].reshape(n_patches, ps, ps, 3)
@@ -403,6 +403,52 @@ class NeRFSystem:
             self._vgg = VGGPerceptualLoss(
                 getattr(self.opt, "vgg_weights", None))
         return self._vgg
+
+    def make_shard_map_step(self, mesh):
+        """Explicit-SPMD variant of the data-parallel train step:
+        ``shard_map`` over the ray batch with a hand-written
+        ``jax.lax.pmean`` gradient all-reduce — the literal TPU
+        translation of the reference's DDP+NCCL all-reduce
+        (``utils/distributed.py:11-18``). The default jit+sharding-
+        constraint path lets XLA insert the same collective; this
+        version exists for explicit control (and as executable
+        documentation of the parallelism).
+
+        Returns step(state, batch, key) -> (state, losses); params and
+        optimizer state replicated, batch sharded on axis 0.
+        """
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        def spmd_step(state, batch, key):
+            step_key = jax.random.fold_in(key, state.step)
+
+            def loss_fn(params):
+                # per-shard mean; pmean makes it the global batch mean
+                # (matches the reference's DataParallel loss semantics,
+                # SURVEY.md §7 'DataParallel loss semantics')
+                return self._loss_fn(params, batch, step_key)
+
+            (_, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            grads = jax.lax.pmean(grads, axis_name="data")
+            losses = jax.lax.pmean(losses, axis_name="data")
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(step=state.step + 1, params=params,
+                              opt_state=opt_state), losses
+
+        batch_spec = {
+            k: P("data") for k in ("origins", "directions", "viewdirs",
+                                   "near", "far", "rgbs")
+        }
+        sharded = shard_map(
+            spmd_step, mesh=mesh,
+            in_specs=(P(), batch_spec, P()),
+            out_specs=(P(), P()),
+            check_rep=False)
+        return jax.jit(sharded, donate_argnums=0)
 
     @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=1)
     def train_steps_scan(self, state: TrainState, buffer, n_steps: int,

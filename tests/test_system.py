@@ -167,3 +167,38 @@ class TestDataParallelEquivalence:
                         jax.tree_util.tree_leaves(s2.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+class TestShardMapStep:
+    def test_shard_map_matches_single_device(self):
+        """The explicit shard_map+pmean step must reproduce the
+        single-device update (grads averaged over equal shards == global
+        batch mean). randomized=False: per-shard PRNG streams differ
+        from the global stream by construction, so exact equivalence
+        requires deterministic sampling."""
+        opt = tiny_opt(batch_size=64, randomized=False)
+        batch = random_ray_batch(np.random.RandomState(11), 64)
+        batch_j = jax.tree_util.tree_map(jnp.asarray, batch)
+        key = jax.random.PRNGKey(5)
+
+        sys_a = create_model(opt)
+        s1 = sys_a.create_state(jax.random.PRNGKey(0), steps_per_epoch=10)
+        s1, l1 = sys_a.train_step(s1, batch_j, key)
+
+        mesh = make_mesh(8)
+        sys_b = create_model(opt)
+        s2 = sys_b.create_state(jax.random.PRNGKey(0), steps_per_epoch=10)
+        step = sys_b.make_shard_map_step(mesh)
+        from nerfsr_tpu.parallel.mesh import batch_sharding, replicate
+        s2 = replicate(s2, mesh)
+        sharded = jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), batch_sharding(mesh)),
+            batch)
+        s2, l2 = step(s2, sharded, key)
+
+        np.testing.assert_allclose(float(l1["tot"]), float(l2["tot"]),
+                                   rtol=2e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
