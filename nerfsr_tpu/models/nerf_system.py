@@ -16,7 +16,7 @@ cwchenwang/NeRF-SR, re-architected for TPU:
 
 from __future__ import annotations
 
-import dataclasses
+
 import functools
 from typing import Any, Dict, Optional
 

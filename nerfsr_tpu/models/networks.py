@@ -19,7 +19,7 @@ All tensors NHWC (TPU layout); the reference is NCHW.
 
 from __future__ import annotations
 
-from typing import Sequence
+
 
 import flax.linen as nn
 import jax.numpy as jnp

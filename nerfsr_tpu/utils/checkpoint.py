@@ -21,7 +21,6 @@ from typing import Any, Optional
 
 import flax.serialization
 import jax
-import numpy as np
 
 
 def _ckpt_dir(opt):
