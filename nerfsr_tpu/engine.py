@@ -35,6 +35,12 @@ def setup(opt):
     if getattr(opt, "profile_port", 0):
         jax.profiler.start_server(opt.profile_port)
         print(f"[setup] jax profiler server on :{opt.profile_port}")
+    if getattr(opt, "verbose", False):
+        # TPU-native NaN guard (replaces the reference's pdb.set_trace
+        # NaN check, nerf_downX_model.py:273-274). Costly: debug builds
+        # re-check every op, so it's gated behind --verbose.
+        jax.config.update("jax_debug_nans", True)
+        print("[setup] jax_debug_nans enabled (--verbose)")
     n_dev = opt.mesh_devices or len(jax.devices())
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     system = create_model(opt)
