@@ -188,6 +188,21 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                 print(f"[e{epoch} s{global_step}] " + " ".join(
                     f"{k}={v:.4g}" for k, v in scal.items()))
 
+            # mid-epoch single-image validation (parity: validate_iter
+            # every --val_freq iterations, reference train.py:98-113)
+            if (val_ds is not None and opt.val_freq > 0
+                    and global_step % opt.val_freq < k):
+                sample = val_ds.image_rays(0)
+                out = system.render_image(state.params, sample)
+                m = system.eval_metrics(out, sample)
+                writer.add_scalars(m, global_step, prefix="val_iter/")
+                vis = system.eval_visuals(
+                    out, sample, f"s{global_step}", with_gt=True,
+                    depth_bounds=val_ds.depth_bounds)
+                save_visuals(vis, _vis_dir(opt, epoch, "iter"))
+                print(f"[val_iter s{global_step}] " + " ".join(
+                    f"{kk}={vv:.4g}" for kk, vv in m.items()))
+
         print(f"[train] epoch {epoch} done in {time.time()-t_epoch:.1f}s")
 
         if epoch % opt.save_epoch_freq == 0 or epoch == opt.n_epochs:
