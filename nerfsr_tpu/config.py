@@ -49,9 +49,13 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
     p.add_argument("--dataset_mode", type=str, default="template")
     p.add_argument("--dataset_root", type=str, required=True)
     p.add_argument("--sisr_path", type=str, default=None)
-    p.add_argument("--num_threads", type=int, default=4)
+    p.add_argument("--num_threads", type=int, default=4,
+                   help="compat no-op: no host DataLoader workers exist; "
+                        "batches are sampled on device")
     p.add_argument("--batch_size", type=int, default=2048)
-    p.add_argument("--eval_batch_size", type=int, default=1)
+    p.add_argument("--eval_batch_size", type=int, default=1,
+                   help="compat no-op: eval renders whole images with "
+                        "fixed-shape device chunks (--ray_chunk)")
     p.add_argument("--max_dataset_size", type=float, default=float("inf"))
     p.add_argument("--img_wh", type=int, nargs=2, required=True)
     p.add_argument("--use_pixel_centers", type=str2bool, default=True)
@@ -79,7 +83,9 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
         p.add_argument("--init_weights_keys", type=str, default=".+")
         p.add_argument("--fix_layers", type=str, default=None)
         p.add_argument("--precrop_frac", type=float, default=0.5)
-        p.add_argument("--keep_last", action="store_true")
+        p.add_argument("--keep_last", action="store_true",
+                       help="count the final partial batch in the epoch "
+                            "(reference train.py:39)")
         p.add_argument("--train_split", type=str, default="train")
         p.add_argument("--val_split", type=str, default="val")
         p.add_argument("--val_epoch_split", type=str, default="test_train")
@@ -152,7 +158,9 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
     p.add_argument("--lambda_fine_depth_var", type=float, default=0.01)
     p.add_argument("--ds_method", type=str, default="lanc",
                    choices=["avg", "lanc"])
-    p.add_argument("--with_sr", action="store_true")
+    p.add_argument("--with_sr", action="store_true",
+                   help="compat no-op: dead flag in the reference too "
+                        "(SISR supervision is gated by --sisr_path)")
     p.add_argument("--with_netD", action="store_true")
     p.add_argument("--dis_network", type=str, default="nlayerdiscriminator")
     p.add_argument("--patch_len", type=int, default=32)
@@ -211,12 +219,17 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
 
     # ---- network options (models/networks.py) ----
     p.add_argument("--learn_residual", action="store_true")
-    p.add_argument("--input_nc", type=int, default=27)
+    p.add_argument("--input_nc", type=int, default=27,
+                   help="UNet input channels; must equal "
+                        "3*(1+num_ref_patches) (validated at setup; flax "
+                        "convs infer channels from data)")
     p.add_argument("--output_nc", type=int, default=3)
     p.add_argument("--norm", type=str, default="batch")
     p.add_argument("--ngf", type=int, default=64)
     p.add_argument("--ndf_dis", type=int, default=64)
-    p.add_argument("--n_layers_D", type=int, default=3)
+    p.add_argument("--n_layers_D", type=int, default=3,
+                   help="compat no-op: dead flag in the reference too "
+                        "(NLayerDiscriminator depth follows --patch_len)")
     p.add_argument("--not_use_ref", action="store_true")
 
     # ---- TPU-native additions ----
@@ -227,12 +240,18 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                    help="devices in the data mesh (0 = all local devices)")
     p.add_argument("--steps_per_epoch", type=int, default=0,
                    help="override epoch length (0 = dataset_size/batch)")
-    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--log_every", type=int, default=0,
+                   help="train-loss console/TB cadence override "
+                        "(0 = use --print_freq)")
     p.add_argument("--use_pallas", action="store_true",
                    help="fused Pallas compositing kernel (TPU)")
     p.add_argument("--use_pallas_mlp", action="store_true",
                    help="fully-fused Pallas MLP megakernel (TPU; "
                         "default architecture only)")
+    p.add_argument("--pallas_mlp_bwd", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="megakernel backward: 'xla' recompute fallback "
+                        "(always compiles) or the fused Pallas kernel")
     p.add_argument("--pallas_interpret", action="store_true",
                    help="run Pallas kernels in interpreter mode (CPU)")
     p.add_argument("--scan_steps", type=int, default=0,

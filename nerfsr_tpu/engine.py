@@ -62,8 +62,14 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
     train_ds = create_dataset(opt, opt.train_split)
     buffer_np = train_ds.ray_buffer()
     n_rays = len(next(iter(buffer_np.values())))
-    steps_per_epoch = opt.steps_per_epoch or max(
-        1, int(np.ceil(n_rays / opt.batch_size)))
+    # --keep_last keeps the final partial batch in the epoch count;
+    # without it the reference drops it (train.py:39).
+    if opt.steps_per_epoch:
+        steps_per_epoch = opt.steps_per_epoch
+    elif getattr(opt, "keep_last", False):
+        steps_per_epoch = max(1, int(np.ceil(n_rays / opt.batch_size)))
+    else:
+        steps_per_epoch = max(1, n_rays // opt.batch_size)
     if np.isfinite(opt.max_dataset_size):
         # parity: data/__init__.py:142-147 caps samples per epoch
         steps_per_epoch = min(
@@ -113,6 +119,12 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
     except Exception as e:  # dataset may not provide this split
         print(f"[train] no val split: {e}")
 
+    # --print_freq is the reference's console/TB train-loss cadence
+    # (train.py:75,90); --log_every overrides it when nonzero.
+    log_every = getattr(opt, "log_every", 0) or \
+        getattr(opt, "print_freq", 100)
+    ref_freq = max(1, getattr(opt, "ref_freq", 1))
+
     key = jax.random.PRNGKey(opt.seed)
     state = system.create_state(key, steps_per_epoch)
 
@@ -144,10 +156,17 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                 k = 1
                 state, losses = system.train_step_patches(
                     state, src, key, opt.patch_size)
-            elif use_ref:
+            elif use_ref and it % ref_freq == 0:
+                # ref-view supervision every --ref_freq steps (parity:
+                # data/llff_dataset.py:391 gates ref items by idx %
+                # ref_freq).
                 k = 1
                 state, losses = system.train_step_with_ref(
                     state, src, ref_buffer, key)
+            elif use_ref:
+                k = 1
+                state, losses = system.train_step_from_buffer(state, src,
+                                                              key)
             elif can_scan and not use_warm and \
                     steps_per_epoch - it >= scan_k:
                 k = scan_k  # fixed chunk => one compiled scan program
@@ -176,7 +195,7 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                 pb = jax.tree_util.tree_map(jnp.asarray, pb)
                 state, reg_losses = system.reg_patch_step(state, pb, key)
                 losses = {**losses, **reg_losses}
-            if global_step % opt.log_every < k:
+            if global_step % log_every < k:
                 losses = jax.device_get(losses)
                 scal = {k: float(v) for k, v in losses.items()}
                 now = time.time()
@@ -196,10 +215,14 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                 out = system.render_image(state.params, sample)
                 m = system.eval_metrics(out, sample)
                 writer.add_scalars(m, global_step, prefix="val_iter/")
-                vis = system.eval_visuals(
-                    out, sample, f"s{global_step}", with_gt=True,
-                    depth_bounds=val_ds.depth_bounds)
-                save_visuals(vis, _vis_dir(opt, epoch, "iter"))
+                # visuals dumped at the coarser --vis_freq cadence
+                # (reference train.py:111-112).
+                vis_freq = getattr(opt, "vis_freq", 0)
+                if vis_freq > 0 and global_step % vis_freq < k:
+                    vis = system.eval_visuals(
+                        out, sample, f"s{global_step}", with_gt=True,
+                        depth_bounds=val_ds.depth_bounds)
+                    save_visuals(vis, _vis_dir(opt, epoch, "iter"))
                 print(f"[val_iter s{global_step}] " + " ".join(
                     f"{kk}={vv:.4g}" for kk, vv in m.items()))
 
@@ -278,7 +301,10 @@ def validate(opt, system, params, dataset, out_dir=None, max_images=None):
 def train_refine(opt):
     """Refinement-stage training loop (parity surface:
     ``train_refine.py:35-132``): host-sampled patch batches drive the
-    jitted CNN step; per-epoch checkpoints; patch-PSNR logging."""
+    jitted CNN step; per-epoch checkpoints; patch-PSNR logging;
+    validate_iter every ``--val_freq`` + full validate every
+    ``--val_epoch_freq`` (reference :89-120); ``--continue_train``
+    resume."""
     system, _ = setup(opt)
     writer = MetricsWriter(opt.summary_dir, opt.name)
     dataset = create_dataset(opt, "train")
@@ -288,8 +314,31 @@ def train_refine(opt):
     state = system.create_state(key, steps_per_epoch)
     d_state = system.create_gan_state(key) if opt.refine_as_gan else None
 
-    global_step = 0
-    for epoch in range(1, opt.n_epochs + 1):
+    # separate val-mode dataset (reference train_refine.py builds
+    # dataset_iterval from the 'val' split)
+    val_ds = None
+    try:
+        val_ds = create_dataset(opt, "val")
+    except Exception as e:
+        print(f"[refine] no val split: {e}")
+
+    start_epoch = 0
+    if getattr(opt, "continue_train", False):
+        resume = (int(opt.load_epoch) if opt.load_epoch != "latest"
+                  else ckpt.find_resume_epoch(opt))
+        if resume is not None:
+            state = ckpt.load_checkpoint(opt, state, epoch=resume)
+            start_epoch = resume
+            print(f"[refine] resumed from epoch {resume}")
+
+    log_every = getattr(opt, "log_every", 0) or \
+        getattr(opt, "print_freq", 100)
+    val_freq = getattr(opt, "val_freq", 0)
+    vis_freq = getattr(opt, "vis_freq", 0)
+
+    global_step = int(state.step)
+    val_counter = 0
+    for epoch in range(start_epoch + 1, opt.n_epochs + 1):
         t0 = time.time()
         for _ in range(steps_per_epoch):
             batch = dataset.sample_train_batch(opt.batch_size)
@@ -300,16 +349,55 @@ def train_refine(opt):
             else:
                 state, losses = system.train_step(state, batch, key)
             global_step += 1
-            if global_step % opt.log_every == 0:
+            if global_step % log_every == 0:
                 scal = {k: float(v) for k, v in
                         jax.device_get(losses).items()}
                 writer.add_scalars(scal, global_step, prefix="train/")
                 print(f"[e{epoch} s{global_step}] " + " ".join(
                     f"{k}={v:.4g}" for k, v in scal.items()))
+            # mid-epoch single-patch validation (reference
+            # train_refine.py:90-105 validate_iter)
+            if (val_ds is not None and val_freq > 0
+                    and global_step % val_freq == 0):
+                vb = val_ds.sample_val_item(val_counter)
+                val_counter += 1
+                pred, m = system.validate_item(state, vb)
+                writer.add_scalars(m, global_step, prefix="val_iter/")
+                print(f"[val_iter s{global_step}] " + " ".join(
+                    f"{kk}={vv:.4g}" for kk, vv in m.items()))
+                if vis_freq > 0 and global_step % vis_freq == 0:
+                    strip = np.concatenate(
+                        [vb["sr_patch"][0], pred[0], vb["gt_patch"][0]],
+                        axis=1)
+                    save_visuals(
+                        [Visualizee("image", strip,
+                                    name=f"s{global_step}-sr-refine-gt",
+                                    range=(-1, 1))],
+                        _vis_dir(opt, epoch, "iter"))
         print(f"[refine] epoch {epoch} done in {time.time()-t0:.1f}s")
         if epoch % opt.save_epoch_freq == 0 or epoch == opt.n_epochs:
             path = ckpt.save_checkpoint(opt, state, epoch)
             print(f"[refine] saved {path}")
+        # full validation pass (reference train_refine.py:112-120)
+        if (val_ds is not None and getattr(opt, "val_epoch_freq", 0)
+                and (epoch % opt.val_epoch_freq == 0
+                     or epoch == opt.n_epochs)):
+            metrics, visuals = [], []
+            for i in range(max(1, val_ds.n_images())):
+                vb = val_ds.sample_val_item(i)
+                pred, m = system.validate_item(state, vb)
+                metrics.append(m)
+                visuals.append(Visualizee(
+                    "image",
+                    np.concatenate([vb["sr_patch"][0], pred[0],
+                                    vb["gt_patch"][0]], axis=1),
+                    name=f"{i}-sr-refine-gt", range=(-1, 1)))
+            agg = {k: float(np.mean([m[k] for m in metrics]))
+                   for k in metrics[0]}
+            writer.add_scalars(agg, global_step, prefix="val/")
+            save_visuals(visuals, _vis_dir(opt, epoch, "val"))
+            print(f"[refine val e{epoch}] " + " ".join(
+                f"{k}={v:.4g}" for k, v in agg.items()))
     writer.close()
     return state
 

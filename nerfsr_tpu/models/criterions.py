@@ -236,6 +236,35 @@ _IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
 _IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
 
 
+def write_synthetic_vgg_npz(path, seed: int = 0):
+    """Write a VGG19-SHAPED random-weights archive (same keys/shapes as
+    ``tools/convert_vgg.py`` output: w{i} HWIO / b{i} for the first 14
+    convs).
+
+    Purpose: (a) CI executes the full perceptual-loss forward+grad path
+    without ImageNet weights (none are obtainable on an egress-less
+    host); (b) a documented substitute metric — random-projection conv
+    features still define a translation-sensitive multi-scale distance
+    (zero iff patches match), though NOT perceptually calibrated like
+    the pretrained reference (``models/criterions.py:149``). He-scaled
+    so activations neither vanish nor explode through 14 layers.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    chans = [c for c in _VGG19_CFG if c != "M"]
+    arrays = {}
+    cin = 3
+    for i, cout in enumerate(chans):
+        fan_in = 3 * 3 * cin
+        arrays[f"w{i}"] = (rng.randn(3, 3, cin, cout)
+                           * np.sqrt(2.0 / fan_in)).astype(np.float32)
+        arrays[f"b{i}"] = np.zeros((cout,), np.float32)
+        cin = cout
+    np.savez(path, **arrays)
+    return path
+
+
 class VGGPerceptualLoss:
     """VGG19-feature L1 perceptual loss (reference :140-187).
 

@@ -22,15 +22,22 @@ import jax
 import jax.numpy as jnp
 
 
-def _kernel_init(name: str):
+def _kernel_init(name: str, gain: float = 0.02):
+    """Init selection with --init_gain semantics (reference
+    ``models/networks.py:13-44``: gain scales normal/xavier/orthogonal;
+    kaiming ignores it)."""
     if name == "kaiming":
         return nn.initializers.he_normal()
     if name == "xavier":
-        return nn.initializers.glorot_normal()
+        # torch xavier_normal_(gain): std = gain * sqrt(2/(fan_in+fan_out));
+        # variance_scaling(s, fan_avg) gives var = 2s/(fan_in+fan_out),
+        # so s = gain^2.
+        return nn.initializers.variance_scaling(
+            gain * gain, "fan_avg", "normal")
     if name == "normal":
-        return nn.initializers.normal(stddev=0.02)
+        return nn.initializers.normal(stddev=gain)
     if name == "orthogonal":
-        return nn.initializers.orthogonal()
+        return nn.initializers.orthogonal(scale=gain)
     # flax default
     return nn.initializers.lecun_normal()
 
@@ -46,6 +53,7 @@ class VanillaMLP(nn.Module):
     dim_rgb: int = 3                # --dim_rgb
     color_activation: str = "sigmoid"  # --color_activation
     init_type: str = "kaiming"      # --init_type (scripts pass kaiming)
+    init_gain: float = 0.02         # --init_gain
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -59,7 +67,8 @@ class VanillaMLP(nn.Module):
         """
         dense = lambda feats, name: nn.Dense(  # noqa: E731
             feats, name=name, dtype=self.compute_dtype,
-            param_dtype=jnp.float32, kernel_init=_kernel_init(self.init_type))
+            param_dtype=jnp.float32,
+            kernel_init=_kernel_init(self.init_type, self.init_gain))
 
         x = xyz_emb.astype(self.compute_dtype)
         inp = x
@@ -99,6 +108,7 @@ class NeuTexMLP(nn.Module):
     dim_rgb: int = 3
     color_activation: str = "sigmoid"
     init_type: str = "kaiming"
+    init_gain: float = 0.02
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -106,7 +116,8 @@ class NeuTexMLP(nn.Module):
                  sigma_only: bool = False):
         dense = lambda feats, name: nn.Dense(  # noqa: E731
             feats, name=name, dtype=self.compute_dtype,
-            param_dtype=jnp.float32, kernel_init=_kernel_init(self.init_type))
+            param_dtype=jnp.float32,
+            kernel_init=_kernel_init(self.init_type, self.init_gain))
         x = xyz_emb.astype(self.compute_dtype)
         inp = x
         for i in range(self.depth):

@@ -186,10 +186,10 @@ class NeRFDownXSystem(NeRFSystem):
     # :572-594 + backward_D/G :518-548, unused by shipped scripts)
     # ------------------------------------------------------------------
     def create_gan_state(self, key):
-        from nerfsr_tpu.models.networks import NLayerDiscriminator
+        from nerfsr_tpu.models.networks import create_discriminator
         import optax
 
-        self.netD = NLayerDiscriminator(patch_len=self.opt.patch_len)
+        self.netD = create_discriminator(self.opt)
         variables = self.netD.init(
             key, jnp.zeros((1, self.opt.patch_len, self.opt.patch_len, 3)))
         self.txD = optax.adam(self.opt.gan_lr, b1=self.opt.beta1)

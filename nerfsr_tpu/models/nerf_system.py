@@ -68,6 +68,7 @@ class NeRFSystem:
             use_pallas=getattr(opt, "use_pallas", False),
             use_fused_mlp=self._fused_mlp_ok(opt),
             fused_dtype="f32" if opt.precision == "f32" else "bf16",
+            fused_bwd=getattr(opt, "pallas_mlp_bwd", "xla"),
             pallas_interpret=getattr(opt, "pallas_interpret", False),
         )
         if getattr(opt, "mlp_network", "vanilla_mlp") == "neutex_mlp":
@@ -77,6 +78,7 @@ class NeRFSystem:
                 dim_rgb=opt.dim_rgb,
                 color_activation=opt.color_activation,
                 init_type=opt.init_type,
+                init_gain=getattr(opt, "init_gain", 0.02),
                 compute_dtype=_compute_dtype(opt.precision))
         else:
             self.mlp = VanillaMLP(
@@ -88,6 +90,7 @@ class NeRFSystem:
                 dim_rgb=opt.dim_rgb,
                 color_activation=opt.color_activation,
                 init_type=opt.init_type,
+                init_gain=getattr(opt, "init_gain", 0.02),
                 compute_dtype=_compute_dtype(opt.precision),
             )
         self.mesh = None          # set via .use_mesh()
@@ -418,7 +421,9 @@ class NeRFSystem:
         optimizer state replicated, batch sharded on axis 0.
         """
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        shard_map = getattr(jax, "shard_map", None)
+        if shard_map is None:  # pre-0.4.35 fallback
+            from jax.experimental.shard_map import shard_map
 
         def spmd_step(state, batch, key):
             step_key = jax.random.fold_in(key, state.step)

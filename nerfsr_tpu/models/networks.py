@@ -246,6 +246,18 @@ class MaxPoolingModel(nn.Module):
             f_synth, f_max, train=train)
 
 
+def create_discriminator(opt):
+    """Discriminator factory honoring ``--dis_network`` / ``--ndf_dis``
+    (reference selects by name via find_network_using_name,
+    ``models/__init__.py:26-39``; only nlayerdiscriminator ships)."""
+    name = getattr(opt, "dis_network", "nlayerdiscriminator")
+    if name != "nlayerdiscriminator":
+        raise KeyError(f"unknown dis_network '{name}' "
+                       "(available: nlayerdiscriminator)")
+    return NLayerDiscriminator(ndf=getattr(opt, "ndf_dis", 64),
+                               patch_len=opt.patch_len)
+
+
 class NLayerDiscriminator(nn.Module):
     """Spectral-norm patch discriminator for 32/64 inputs (reference
     :588-692). Call with mutable=['batch_stats'] is not needed —

@@ -29,8 +29,7 @@ from nerfsr_tpu.models import register_model
 from nerfsr_tpu.models.criterions import (VGGPerceptualLoss, gradient_loss,
                                           l1 as l1_loss, psnr as psnr_fn,
                                           ssim as ssim_fn)
-from nerfsr_tpu.models.networks import (MaxPoolingModel, NLayerDiscriminator,
-                                        UnetGenerator)
+from nerfsr_tpu.models.networks import MaxPoolingModel, UnetGenerator
 from nerfsr_tpu.parallel.mesh import shard_batch
 from nerfsr_tpu.utils.schedule import make_jax_lr_schedule
 
@@ -53,6 +52,18 @@ class RefineSystem:
         else:
             raise KeyError(f"unknown refine network {opt.refine_network}")
         self.is_unet = opt.refine_network == "unetgenerator"
+        if self.is_unet:
+            # --input_nc must describe the stacked sr+refs input
+            # (reference default 27 = 3 + 8 ref patches x 3,
+            # models/networks.py:351-352); flax convs infer the channel
+            # count from data, so a mismatch would silently diverge from
+            # the requested architecture — fail loudly instead.
+            expect = 3 * (1 + opt.num_ref_patches)
+            got = getattr(opt, "input_nc", expect)
+            if got not in (expect, 27):  # 27 = untouched default
+                raise ValueError(
+                    f"--input_nc {got} != 3*(1+num_ref_patches) = "
+                    f"{expect}; adjust --num_ref_patches instead")
         self.mesh = None
         self.tx = None
         self._steps_per_epoch = 1
@@ -171,6 +182,24 @@ class RefineSystem:
             {"params": state.params, "batch_stats": state.batch_stats},
             sr, refs, train=False)
 
+    def validate_item(self, state, batch):
+        """Refine one val patch triple and score it (parity:
+        ``models/refine_model.py`` validate_iter losses — input vs
+        refined PSNR + mse on (-1,1) patches). Returns (pred, metrics)."""
+        pred = np.asarray(self.predict(
+            state, jnp.asarray(batch["sr_patch"]),
+            jnp.asarray(batch["ref_patches"])))
+        gt = batch["gt_patch"]
+        metrics = {
+            "mse": float(np.mean((pred - gt) ** 2)),
+            "psnr_input": float(psnr_fn(
+                jnp.asarray((batch["sr_patch"] + 1) / 2),
+                jnp.asarray((gt + 1) / 2))),
+            "psnr_refine": float(psnr_fn(
+                jnp.asarray((pred + 1) / 2), jnp.asarray((gt + 1) / 2))),
+        }
+        return pred, metrics
+
     # ------------------------------------------------------------------
     # GAN refinement option (--refine_as_gan)
     # ------------------------------------------------------------------
@@ -178,7 +207,8 @@ class RefineSystem:
         """Discriminator params + optimizer (reference :89-95). The
         reference conditions D on a never-set ``self.input`` attribute
         (latent bug); here D sees the patch alone (input_nc=3)."""
-        self.netD = NLayerDiscriminator(patch_len=self.opt.patch_len)
+        from nerfsr_tpu.models.networks import create_discriminator
+        self.netD = create_discriminator(self.opt)
         variables = self.netD.init(
             key, jnp.zeros((1, self.opt.patch_len, self.opt.patch_len, 3)))
         self.txD = optax.adam(self.opt.gan_lr, b1=self.opt.beta1)
@@ -222,7 +252,8 @@ class RefineSystem:
                 batch["sr_patch"], batch["ref_patches"], train=True)
             fake = d_apply(d_params, d_state["batch_stats"], pred_g)
             g_gan = jnp.mean((fake - 1.0) ** 2)
-            g_l1 = l1_loss(pred_g, gt) * 100.0
+            # --lambda_L1 (reference models/refine_model.py:127; default 100)
+            g_l1 = l1_loss(pred_g, gt) * self.opt.lambda_L1
             return g_gan + g_l1, (g_gan, g_l1, mut["batch_stats"])
 
         (_, (g_gan, g_l1, batch_stats)), g_grads = jax.value_and_grad(

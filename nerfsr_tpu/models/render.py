@@ -41,6 +41,7 @@ class RenderConfig:
     use_pallas: bool = False       # fused Pallas compositing kernel
     use_fused_mlp: bool = False    # Pallas MLP megakernel (--use_pallas_mlp)
     fused_dtype: str = "bf16"      # megakernel compute dtype
+    fused_bwd: str = "xla"         # --pallas_mlp_bwd: xla | pallas
     pallas_interpret: bool = False  # interpreter mode (CPU tests)
 
 
@@ -83,7 +84,7 @@ def render_rays(mlp, params_coarse, params_fine, rays: Rays,
                 else jnp.float32
             rgb, sigma = fused_nerf_mlp(
                 flatten_params(params), pts_flat, dirs_flat, dtype,
-                cfg.pallas_interpret)
+                cfg.pallas_interpret, cfg.fused_bwd)
             rgb = rgb.reshape(n, s, 3)
             sigma = sigma.reshape(n, s)
         else:

@@ -38,6 +38,12 @@ EVERY constituent op — narrow transposed dots, 26-output scratch
 accumulation, the full forward — compiles standalone: the combined
 program trips an internal compiler limit. Stays OPT-IN
 (--use_pallas_mlp); the benchmark path uses the XLA MLP.
+
+Because of that compiler limit the DEFAULT backward is now the 'xla'
+fallback (``_bwd_xla``): recompute the identical forward math in pure
+jnp and differentiate — always compiles, so --use_pallas_mlp trains on
+device (fused fwd + XLA bwd). --pallas_mlp_bwd pallas selects the v3
+kernel where the toolchain allows it.
 """
 
 from __future__ import annotations
@@ -462,33 +468,58 @@ def _bwd(points, viewdirs, ws, grgb, gsigma, compute_dtype, interpret):
     return grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _bwd_xla(params_flat, points, viewdirs, grgb, gsigma, compute_dtype):
+    """XLA fallback backward: recompute the forward with the SAME math
+    (``_fwd_pass`` is pure jnp) and let XLA differentiate w.r.t. the
+    weights. Keeps the fused Pallas forward usable for training on
+    devices where the combined ~30-matmul backward kernel trips the
+    Mosaic compiler (see module STATUS). Input grads stay zero — same
+    contract as the Pallas backward."""
+    x0, dmb = _embed(points, viewdirs)
+
+    def f(ws):
+        rgb, sigma, _ = _fwd_pass(x0, dmb, ws, compute_dtype)
+        return rgb, sigma[:, 0]
+
+    _, vjp = jax.vjp(f, params_flat)
+    (grads,) = vjp((grgb, gsigma))
+    return list(grads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_nerf_mlp(params_flat, points, viewdirs, compute_dtype,
-                   interpret=False):
+                   interpret=False, bwd_mode="xla"):
     """(rgb (N,3), sigma (N,)) from raw points/viewdirs (N,3).
 
     params_flat: flatten_params(flax_variables) tuple, f32 masters
     (cast to compute_dtype happens outside the kernel, once per step).
+    bwd_mode: 'xla' (default; recompute-and-differentiate fallback that
+    always compiles) or 'pallas' (the fused v3 backward kernel).
     """
     ws = tuple(jnp.asarray(w) for w in params_flat)
     rgb, sigma = _fwd(points, viewdirs, ws, compute_dtype, interpret)
     return rgb, sigma[:, 0]
 
 
-def _vjp_fwd(params_flat, points, viewdirs, compute_dtype, interpret):
+def _vjp_fwd(params_flat, points, viewdirs, compute_dtype, interpret,
+             bwd_mode):
     out = fused_nerf_mlp(params_flat, points, viewdirs, compute_dtype,
-                         interpret)
+                         interpret, bwd_mode)
     return out, (params_flat, points, viewdirs)
 
 
-def _vjp_bwd(compute_dtype, interpret, residuals, cotangents):
+def _vjp_bwd(compute_dtype, interpret, bwd_mode, residuals, cotangents):
     params_flat, points, viewdirs = residuals
     grgb, gsigma = cotangents
-    # weights enter the bwd kernel in the compute dtype (halves their
-    # VMEM footprint); dW still accumulates in f32.
-    ws = tuple(jnp.asarray(w, compute_dtype) for w in params_flat)
-    grads = _bwd(points, viewdirs, ws, grgb,
-                 gsigma[:, None], compute_dtype, interpret)
+    if bwd_mode == "xla":
+        grads = _bwd_xla(params_flat, points, viewdirs, grgb, gsigma,
+                         compute_dtype)
+    else:
+        # weights enter the bwd kernel in the compute dtype (halves their
+        # VMEM footprint); dW still accumulates in f32.
+        ws = tuple(jnp.asarray(w, compute_dtype) for w in params_flat)
+        grads = _bwd(points, viewdirs, ws, grgb,
+                     gsigma[:, None], compute_dtype, interpret)
     return (tuple(grads), jnp.zeros_like(points),
             jnp.zeros_like(viewdirs))
 

@@ -3,7 +3,9 @@ dataset=${1:-lego}
 root=${2:-./data/nerf_synthetic/$dataset}
 python train_blender.py --name blender-$dataset --dataset_mode blender \
   --dataset_root $root --img_wh 200 200 --batch_size 2048 \
-  --n_epochs 20 --n_epochs_decay 10 --init_type kaiming \
+  --n_epochs 20 --n_epochs_decay 10 --init_type kaiming --val_epoch_split test \
+  --print_freq 100 --vis_freq 1000 --val_freq 1000 \
+  --val_epoch_freq 20 --vis_epoch_freq 20 --save_epoch_freq 5 \
   --model nerf --N_coarse 64 --N_importance 64 \
   --lr_policy exp --sigma_activation relu --lr 5e-4 --lr_final 5e-6 \
-  --use_pallas_mlp
+  --scan_steps 20

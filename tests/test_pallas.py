@@ -86,9 +86,10 @@ class TestFusedMLP:
                                    np.asarray(sigma_ref), rtol=1e-4,
                                    atol=1e-5)
 
-    def test_weight_grads_match_flax(self):
-        from nerfsr_tpu.ops.pallas_mlp import (flatten_params,
-                                               fused_nerf_mlp,
+    def _check_grads(self, bwd_mode):
+        """Both backward modes ('pallas' v3 kernel in interpret mode,
+        'xla' recompute fallback) must match flax gradients."""
+        from nerfsr_tpu.ops.pallas_mlp import (fused_nerf_mlp,
                                                unflatten_grads)
 
         mlp, params, flat, pts, dirs, xyz_emb, dir_emb = self._setup()
@@ -99,7 +100,7 @@ class TestFusedMLP:
 
         def loss_fused(flat):
             rgb, sigma = fused_nerf_mlp(flat, pts, dirs, jnp.float32,
-                                        True)
+                                        True, bwd_mode)
             return jnp.sum(rgb ** 2) + jnp.sum(jnp.tanh(sigma))
 
         g_ref = jax.grad(loss_flax)(params)
@@ -114,6 +115,12 @@ class TestFusedMLP:
             np.testing.assert_allclose(
                 np.asarray(fused_flat[key]), np.asarray(leaf),
                 rtol=5e-3, atol=1e-4, err_msg=key)
+
+    def test_weight_grads_match_flax(self):
+        self._check_grads("pallas")
+
+    def test_weight_grads_match_flax_xla_bwd(self):
+        self._check_grads("xla")
 
     def test_render_path_with_fused_mlp(self):
         """End-to-end render_rays with use_fused_mlp vs flax path."""

@@ -210,3 +210,54 @@ class TestRefineDataset:
             x, y = tiles["start_locs"][p]
             stitched[y:y + 32, x:x + 32] = tiles["sr_patch"][p]
         np.testing.assert_allclose(stitched, ds.sr_imgs[0], atol=1e-6)
+
+
+class TestTrainRefineEngine:
+    """engine.train_refine end-to-end: mid-epoch validate_iter, full
+    epoch validate, and --continue_train resume (VERDICT r1 gaps;
+    reference train_refine.py:88-120)."""
+
+    @pytest.fixture(scope="class")
+    def scene(self, tmp_path_factory):
+        from tools.make_synthetic_llff import make_llff_scene
+        from PIL import Image
+
+        d = tmp_path_factory.mktemp("refine_engine")
+        scene = str(d / "scene")
+        make_llff_scene(scene, hw=(96, 96), n_imgs=3)
+        syn = str(d / "syn")
+        os.makedirs(syn)
+        rng = np.random.RandomState(0)
+        for i in range(3):
+            img = (rng.rand(96, 96, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(syn, f"{i}-fine-ori.png"))
+        return d, scene, syn
+
+    def test_val_and_resume(self, scene, capsys):
+        from nerfsr_tpu import engine
+
+        d, scene_dir, syn = scene
+        kw = dict(dataset_root=scene_dir, syn_dataroot=syn,
+                  img_wh=(96, 96), patch_len=32, aug_num=3,
+                  refine_network="maxpoolingmodel", n_epochs=2,
+                  steps_per_epoch=3, val_freq=2, vis_freq=2,
+                  val_epoch_freq=2, save_epoch_freq=1, print_freq=1,
+                  checkpoints_dir=str(d / "ckpts"),
+                  summary_dir=str(d / "runs"))
+        state = engine.train_refine(refine_opt(**kw))
+        assert int(state.step) == 6
+        out = capsys.readouterr().out
+        assert "val_iter" in out and "psnr_refine" in out
+        assert "[refine val e2]" in out
+        # visuals dumped at the vis_freq cadence
+        vis = os.listdir(os.path.join(str(d / "ckpts"), "exp",
+                                      "1_iter_vis"))
+        assert any("sr-refine-gt" in v for v in vis)
+
+        # resume restores the step counter and continues
+        state2 = engine.train_refine(
+            refine_opt(continue_train=True, **{**kw, "n_epochs": 3}))
+        assert int(state2.step) == 9
+        out2 = capsys.readouterr().out
+        assert "resumed from epoch 2" in out2
