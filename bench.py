@@ -1,18 +1,21 @@
 #!/usr/bin/env python
-"""Throughput benchmark: train rays/sec/chip at the LLFF x2 supersampling
-config (BASELINE.md north star: fern 252x189 -> 504x378, batch 512 LR
-pixels x ds^2=4 sub-rays = 2048 HR rays/step, 64 coarse + 64 fine
-importance samples => 192 MLP-sampled points per ray, two networks).
+"""Throughput benchmark: train rays/sec/chip at the BASELINE.md north
+star — the LLFF x2 supersampling FLAGSHIP step (scripts/train_llff_downX
+.sh): model nerf_downX, grouped (512 LR px, ds^2=4 sub-rays) batches =
+2048 HR rays/step, 64 coarse + 64 fine importance samples (192 MLP
+points/ray, two networks), subpixel-mean LR loss, mixed bf16,
+--include_var config (a dataset flag: the val image joins training; no
+per-step compute effect).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"secondary_flat_nerf_rays_per_sec"}.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md), so
-vs_baseline is computed against a documented estimate of the reference's
-per-GPU training throughput at this exact config: nerf_pl-style PyTorch
-NeRF trains at roughly 2-3 steps/s with 2048-ray batches on the
-reference's RTX-class GPUs (~5-6k HR rays/s); we use 6000 rays/s as the
-reference point. Replace with a measured number when the reference can be
-profiled on comparable hardware.
+vs_baseline divides by a documented ESTIMATE of the reference's per-GPU
+training throughput at this config: nerf_pl-style PyTorch NeRF trains at
+roughly 2-3 steps/s with 2048-ray batches on the reference's RTX-class
+GPUs (~5-6k HR rays/s); we use 6000 rays/s. Replace with a measured
+number when the reference can be profiled on comparable hardware.
 """
 
 import json
@@ -21,60 +24,100 @@ import time
 REFERENCE_RAYS_PER_SEC = 6000.0
 
 
-def main():
+def _timed_scan(system, state, buffer, n_steps, key):
+    """Run one compiled n_steps scan; scalar readback forces device-side
+    completion (block_until_ready is unreliable on the axon tunnel)."""
+    state, losses = system.train_steps_scan(state, buffer, n_steps, key)
+    assert float(losses["tot"]) > 0
+    return state
+
+
+def _bench_system(opt, buffer, n_steps=50):
     import jax
+
+    from nerfsr_tpu.models import create_model
+
+    system = create_model(opt)
+    state = system.create_state(jax.random.PRNGKey(0),
+                                steps_per_epoch=2000)
+    key = jax.random.PRNGKey(0)
+    state = _timed_scan(system, state, buffer, n_steps, key)  # compile
+    t0 = time.perf_counter()
+    _timed_scan(system, state, buffer, n_steps, key)
+    return time.perf_counter() - t0
+
+
+def _grouped_buffer(n_lr, ds2, seed=0):
+    """Device buffer shaped like LLFFDownX ray_buffer(): grouped
+    (N_lr, ds^2, C) HR rays + (N_lr, 3) LR rgb + (N_lr, ds^2, 3) HR."""
     import jax.numpy as jnp
     import numpy as np
 
-    from nerfsr_tpu.config import default_options
-    from nerfsr_tpu.models import create_model
+    rng = np.random.RandomState(seed)
+    d = rng.randn(n_lr, ds2, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return {
+        "origins": jnp.asarray(
+            rng.randn(n_lr, ds2, 3).astype(np.float32) * 0.1),
+        "directions": jnp.asarray(d),
+        "viewdirs": jnp.asarray(d),
+        "near": jnp.zeros((n_lr, ds2, 1), jnp.float32),
+        "far": jnp.ones((n_lr, ds2, 1), jnp.float32),
+        "rgbs": jnp.asarray(rng.rand(n_lr, 3).astype(np.float32)),
+        "rgbs_ori": jnp.asarray(
+            rng.rand(n_lr, ds2, 3).astype(np.float32)),
+    }
 
-    # LLFF x2 SS shapes (scripts/train_llff_downX.sh)
+
+def _flat_buffer(n, seed=0):
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return {
+        "origins": jnp.asarray(rng.randn(n, 3).astype(np.float32) * .1),
+        "directions": jnp.asarray(d),
+        "viewdirs": jnp.asarray(d),
+        "near": jnp.zeros((n, 1), jnp.float32),
+        "far": jnp.ones((n, 1), jnp.float32),
+        "rgbs": jnp.asarray(rng.rand(n, 3).astype(np.float32)),
+    }
+
+
+def main():
+    from nerfsr_tpu.config import default_options
+
     ds = 2
     batch_lr = 512
     n_hr_rays = batch_lr * ds * ds
+    n_steps = 50
 
+    # PRIMARY: the flagship nerf_downX supersampling step
     opt = default_options(
+        "train", model="nerf_downX", dataset_mode="llff_downX",
+        batch_size=batch_lr, N_coarse=64, N_importance=64,
+        precision="mixed", white_bkgd=False, noise_std=1.0,
+        downscale=ds, include_var=True, n_epochs=30, n_epochs_decay=10)
+    dt = _bench_system(opt, _grouped_buffer(1 << 16, ds * ds), n_steps)
+    rays_per_sec = n_steps * n_hr_rays / dt
+
+    # SECONDARY: the flat vanilla-nerf step at the same HR ray count
+    opt2 = default_options(
         "train", model="nerf", dataset_mode="llff",
         batch_size=n_hr_rays, N_coarse=64, N_importance=64,
         precision="mixed", white_bkgd=False, noise_std=1.0,
         n_epochs=30, n_epochs_decay=10)
-    system = create_model(opt)
-    state = system.create_state(jax.random.PRNGKey(0), steps_per_epoch=2000)
+    dt2 = _bench_system(opt2, _flat_buffer(1 << 18), n_steps)
+    flat_rays_per_sec = n_steps * n_hr_rays / dt2
 
-    rng = np.random.RandomState(0)
-    n_buf = 1 << 18
-    d = rng.randn(n_buf, 3).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    buffer = {
-        "origins": jnp.asarray(rng.randn(n_buf, 3).astype(np.float32) * .1),
-        "directions": jnp.asarray(d),
-        "viewdirs": jnp.asarray(d),
-        "near": jnp.zeros((n_buf, 1), jnp.float32),
-        "far": jnp.ones((n_buf, 1), jnp.float32),
-        "rgbs": jnp.asarray(rng.rand(n_buf, 3).astype(np.float32)),
-    }
-    key = jax.random.PRNGKey(0)
-
-    # warmup / compile (scan folds the whole step chain into one program,
-    # amortizing dispatch; the scalar float() readback forces real
-    # device-side completion — block_until_ready alone is unreliable on
-    # the axon tunnel).
-    n_steps = 50
-    state, losses = system.train_steps_scan(state, buffer, n_steps, key)
-    assert float(losses["tot"]) > 0
-
-    t0 = time.perf_counter()
-    state, losses = system.train_steps_scan(state, buffer, n_steps, key)
-    assert float(losses["tot"]) > 0
-    dt = time.perf_counter() - t0
-
-    rays_per_sec = n_steps * n_hr_rays / dt
     print(json.dumps({
-        "metric": "train rays/sec/chip (LLFF x2 SS shapes)",
+        "metric": "train rays/sec/chip (LLFF x2 SS flagship step)",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
+        "secondary_flat_nerf_rays_per_sec": round(flat_rays_per_sec, 1),
     }))
 
 

@@ -259,6 +259,14 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                         "lax.scan program (amortizes dispatch; 0 = off)")
     p.add_argument("--profile_port", type=int, default=0,
                    help="start a jax.profiler server on this port")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host: jax.distributed coordinator "
+                        "address host:port (process 0's)")
+    p.add_argument("--num_processes", type=int, default=0,
+                   help="multi-host: total process count (0 = single "
+                        "process / auto-detected TPU env)")
+    p.add_argument("--process_id", type=int, default=-1,
+                   help="multi-host: this process's id (-1 = auto)")
 
     return p
 

@@ -48,6 +48,12 @@ class LLFFDownXDataset:
         if opt.use_subset:
             self.poses = self.poses[:opt.subset_num]
             self.image_paths = self.image_paths[:opt.subset_num]
+            # the reference computes val_idx BEFORE subsetting
+            # (llff_downX_dataset.py:245,265) and can index out of range
+            # when subset_num <= val_idx; keep the selection order but
+            # clamp instead of crashing.
+            if self.val_idx >= len(self.poses):
+                self.val_idx = len(self.poses) - 1
 
         self.sr_image_paths = None
         if opt.sisr_path:

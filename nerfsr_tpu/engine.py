@@ -22,16 +22,31 @@ import numpy as np
 
 from nerfsr_tpu.data import create_dataset
 from nerfsr_tpu.models import create_model
-from nerfsr_tpu.parallel.mesh import make_mesh
+from nerfsr_tpu.parallel.mesh import init_distributed, is_master, make_mesh
 from nerfsr_tpu.utils import checkpoint as ckpt
-from nerfsr_tpu.utils.visualizer import (MetricsWriter, Visualizee,
-                                         save_visuals)
+from nerfsr_tpu.utils.visualizer import (MetricsWriter, NullMetricsWriter,
+                                         Visualizee, save_visuals)
+
+
+def _make_writer(opt):
+    """Scalar sink; non-master processes write nothing (parity: the
+    reference logs/validates/saves on rank 0 only, ``train.py:90-139``)."""
+    return MetricsWriter(opt.summary_dir, opt.name) if is_master() \
+        else NullMetricsWriter()
 
 
 def setup(opt):
     """Seed + mesh + system (replaces ``utils/distributed.py:5-25`` — no
     process groups; XLA owns the collectives)."""
     np.random.seed(opt.seed)
+    if getattr(opt, "coordinator", None) or \
+            getattr(opt, "num_processes", 0):
+        proc_id = getattr(opt, "process_id", -1)
+        pid, pcount = init_distributed(
+            getattr(opt, "coordinator", None),
+            getattr(opt, "num_processes", 0) or None,
+            proc_id if proc_id >= 0 else None)
+        print(f"[setup] jax.distributed: process {pid}/{pcount}")
     if getattr(opt, "profile_port", 0):
         jax.profiler.start_server(opt.profile_port)
         print(f"[setup] jax profiler server on :{opt.profile_port}")
@@ -57,7 +72,7 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
     ``train_blender.py:77-82``).
     """
     system, mesh = setup(opt)
-    writer = MetricsWriter(opt.summary_dir, opt.name)
+    writer = _make_writer(opt)
 
     train_ds = create_dataset(opt, opt.train_split)
     buffer_np = train_ds.ray_buffer()
@@ -210,7 +225,7 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
             # mid-epoch single-image validation (parity: validate_iter
             # every --val_freq iterations, reference train.py:98-113)
             if (val_ds is not None and opt.val_freq > 0
-                    and global_step % opt.val_freq < k):
+                    and global_step % opt.val_freq < k and is_master()):
                 sample = val_ds.image_rays(0)
                 out = system.render_image(state.params, sample)
                 m = system.eval_metrics(out, sample)
@@ -228,12 +243,14 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
 
         print(f"[train] epoch {epoch} done in {time.time()-t_epoch:.1f}s")
 
-        if epoch % opt.save_epoch_freq == 0 or epoch == opt.n_epochs:
+        if (epoch % opt.save_epoch_freq == 0
+                or epoch == opt.n_epochs) and is_master():
             path = ckpt.save_checkpoint(opt, state, epoch)
             print(f"[train] saved {path}")
 
-        if val_ds is not None and (epoch % opt.val_epoch_freq == 0
-                                   or epoch == opt.n_epochs):
+        if val_ds is not None and is_master() and \
+                (epoch % opt.val_epoch_freq == 0
+                 or epoch == opt.n_epochs):
             metrics = validate(opt, system, state.params, val_ds,
                                out_dir=_vis_dir(opt, epoch, "val"))
             writer.add_scalars(metrics, global_step, prefix="val/")
@@ -243,7 +260,7 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
         # epoch-end render of the val_epoch split (parity: train.py's
         # vis_epoch_freq test render, reference train.py:117-136)
         if (getattr(opt, "vis_epoch_freq", 0)
-                and epoch % opt.vis_epoch_freq == 0):
+                and epoch % opt.vis_epoch_freq == 0 and is_master()):
             try:
                 vis_ds = create_dataset(opt, opt.val_epoch_split)
                 metrics = validate(
@@ -306,7 +323,7 @@ def train_refine(opt):
     ``--val_epoch_freq`` (reference :89-120); ``--continue_train``
     resume."""
     system, _ = setup(opt)
-    writer = MetricsWriter(opt.summary_dir, opt.name)
+    writer = _make_writer(opt)
     dataset = create_dataset(opt, "train")
     steps_per_epoch = opt.steps_per_epoch or max(
         1, len(dataset) // opt.batch_size)
@@ -358,7 +375,7 @@ def train_refine(opt):
             # mid-epoch single-patch validation (reference
             # train_refine.py:90-105 validate_iter)
             if (val_ds is not None and val_freq > 0
-                    and global_step % val_freq == 0):
+                    and global_step % val_freq == 0 and is_master()):
                 vb = val_ds.sample_val_item(val_counter)
                 val_counter += 1
                 pred, m = system.validate_item(state, vb)
@@ -375,11 +392,13 @@ def train_refine(opt):
                                     range=(-1, 1))],
                         _vis_dir(opt, epoch, "iter"))
         print(f"[refine] epoch {epoch} done in {time.time()-t0:.1f}s")
-        if epoch % opt.save_epoch_freq == 0 or epoch == opt.n_epochs:
+        if (epoch % opt.save_epoch_freq == 0
+                or epoch == opt.n_epochs) and is_master():
             path = ckpt.save_checkpoint(opt, state, epoch)
             print(f"[refine] saved {path}")
         # full validation pass (reference train_refine.py:112-120)
-        if (val_ds is not None and getattr(opt, "val_epoch_freq", 0)
+        if (val_ds is not None and is_master()
+                and getattr(opt, "val_epoch_freq", 0)
                 and (epoch % opt.val_epoch_freq == 0
                      or epoch == opt.n_epochs)):
             metrics, visuals = [], []

@@ -153,3 +153,17 @@ class MetricsWriter:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class NullMetricsWriter:
+    """No-op scalar sink for non-master processes (the reference logs on
+    rank 0 only, ``train.py:90``)."""
+
+    def add_scalar(self, tag, value, step):
+        pass
+
+    def add_scalars(self, scalars, step, prefix=""):
+        pass
+
+    def close(self):
+        pass

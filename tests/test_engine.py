@@ -100,3 +100,45 @@ class TestSphericAndViewdir:
                                    atol=1e-6)
         # but viewdirs vary with idx
         assert not np.allclose(s0["viewdirs"], s1["viewdirs"])
+
+
+class TestMultiHostWiring:
+    """Master-only writes + jax.distributed entry wiring (parity:
+    reference rank-0 logging/val/ckpt, train.py:90-139)."""
+
+    def test_non_master_writes_nothing(self, blender_scene, tmp_path,
+                                       monkeypatch):
+        from nerfsr_tpu import engine
+
+        monkeypatch.setattr(engine, "is_master", lambda: False)
+        opt = default_options(
+            "train", model="nerf", dataset_mode="blender",
+            dataset_root=blender_scene, img_wh=(16, 16), batch_size=32,
+            N_coarse=4, N_importance=4, D=2, W=16, deg_pos=2, deg_dir=1,
+            precision="f32", n_epochs=1, n_epochs_decay=1,
+            steps_per_epoch=3, save_epoch_freq=1, val_epoch_freq=1,
+            vis_epoch_freq=0,
+            checkpoints_dir=str(tmp_path / "ck"),
+            summary_dir=str(tmp_path / "runs"), name="nm")
+        state = engine.train(opt)
+        assert int(state.step) == 3  # training still runs
+        assert not os.path.exists(tmp_path / "ck" / "nm" /
+                                  "1_state.msgpack")
+        assert not os.path.exists(tmp_path / "runs" / "nm" /
+                                  "metrics.jsonl")
+
+    def test_coordinator_flags_invoke_init_distributed(self, monkeypatch):
+        from nerfsr_tpu import engine
+
+        calls = {}
+
+        def fake_init(coordinator, num_processes, process_id):
+            calls["args"] = (coordinator, num_processes, process_id)
+            return 0, num_processes
+
+        monkeypatch.setattr(engine, "init_distributed", fake_init)
+        opt = default_options(
+            "train", model="template", dataset_mode="template",
+            coordinator="localhost:1234", num_processes=2, process_id=0)
+        engine.setup(opt)
+        assert calls["args"] == ("localhost:1234", 2, 0)
