@@ -254,6 +254,23 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                         "(always compiles) or the fused Pallas kernel")
     p.add_argument("--pallas_interpret", action="store_true",
                    help="run Pallas kernels in interpreter mode (CPU)")
+    p.add_argument("--fast_sampling", action="store_true",
+                   help="proposal-MLP importance sampling: a tiny "
+                        "sigma-only net shapes the CDF; the big MLP runs "
+                        "once on N_importance samples (3x fewer big-MLP "
+                        "points at flagship shapes). Opt-in; the parity "
+                        "coarse+fine path is untouched when off")
+    p.add_argument("--n_prop", type=int, default=64,
+                   help="proposal samples per ray (--fast_sampling)")
+    p.add_argument("--prop_D", type=int, default=4,
+                   help="proposal MLP depth (--fast_sampling)")
+    p.add_argument("--prop_W", type=int, default=64,
+                   help="proposal MLP width (--fast_sampling)")
+    p.add_argument("--deg_prop", type=int, default=6,
+                   help="proposal posenc degree (--fast_sampling)")
+    p.add_argument("--lambda_interlevel", type=float, default=1.0,
+                   help="proposal-histogram bound loss weight "
+                        "(--fast_sampling)")
     p.add_argument("--scan_steps", type=int, default=0,
                    help="fold N optimization steps into one compiled "
                         "lax.scan program (amortizes dispatch; 0 = off)")

@@ -64,6 +64,27 @@ def volumetric_rendering(rgb: jnp.ndarray, sigma: jnp.ndarray,
     return comp_rgb, depth, opacity, weights
 
 
+def compute_weights(sigma: jnp.ndarray, z_vals: jnp.ndarray,
+                    activation: str = "relu") -> jnp.ndarray:
+    """Compositing weights alone (no rgb) — the sigma-only half of
+    ``volumetric_rendering`` with identical deltas/alpha/transmittance
+    math. Used by the proposal sampler (--fast_sampling), which needs a
+    density-derived sampling distribution but renders no color."""
+    eps = 1e-10
+    deltas = z_vals[..., 1:] - z_vals[..., :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.full_like(deltas[..., :1], 1e10)], axis=-1)
+    alpha = 1.0 - jnp.exp(-deltas * sigma_activation(sigma, activation))
+    trans = jnp.concatenate(
+        [
+            jnp.ones_like(alpha[..., :1]),
+            jnp.cumprod(1.0 - alpha[..., :-1] + eps, axis=-1),
+        ],
+        axis=-1,
+    )
+    return alpha * trans
+
+
 def add_gaussian_noise(key, raw: jnp.ndarray, randomized: bool,
                        noise_std: float) -> jnp.ndarray:
     """Sigma noise regularizer. Parity: ``models/utils.py:199-212``."""

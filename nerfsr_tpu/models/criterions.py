@@ -108,6 +108,44 @@ def bilateral_laplacian_loss(depth, rgb, gamma: float = 0.1):
     return loss / 4.0
 
 
+def _outer_mass(t_q, t_env, w_env):
+    """Upper bound on the env histogram's mass inside each query
+    interval: env-CDF(smallest env edge >= hi) - env-CDF(largest env
+    edge <= lo). Histogram edges t_q (N, S+1) / t_env (N, P+1), env bin
+    weights w_env (N, P) -> (N, S).
+
+    searchsorted is expressed as an all-pairs comparison reduction
+    (fully parallel on the VPU — same trick as ``core.sampling
+    .sample_pdf``)."""
+    cw = jnp.concatenate(
+        [jnp.zeros_like(w_env[..., :1]), jnp.cumsum(w_env, -1)], -1)
+    n_edges = cw.shape[-1]
+    # floor index for each query edge: #{j : t_env[j] <= x} - 1
+    le = jnp.sum((t_env[:, None, :] <= t_q[:, :, None]), -1) - 1
+    # ceil index: #{j : t_env[j] < x}
+    lt = jnp.sum((t_env[:, None, :] < t_q[:, :, None]), -1)
+    idx_lo = jnp.clip(le[:, :-1], 0, n_edges - 1)
+    idx_hi = jnp.clip(lt[:, 1:], 0, n_edges - 1)
+    mass_lo = jnp.take_along_axis(cw, idx_lo, -1)
+    mass_hi = jnp.take_along_axis(cw, idx_hi, -1)
+    return jnp.maximum(mass_hi - mass_lo, 0.0)
+
+
+def interlevel_loss(z_fine, w_fine, z_prop, w_prop, eps: float = 1e-6):
+    """Proposal (interlevel) loss for --fast_sampling: penalize the
+    proposal histogram wherever it fails to UPPER-BOUND the fine
+    histogram, so the tiny proposal net learns where the big net puts
+    mass (mip-NeRF 360's lossfun_outer, arXiv 2111.12077 eq. 13 —
+    public method; no reference counterpart). Sample depths act as bin
+    edges; each histogram's terminal (1e10-interval) weight is dropped.
+    Fine weights are stop-gradient'ed: only the proposal learns from
+    this term."""
+    w_f = jax.lax.stop_gradient(w_fine[..., :-1])
+    w_outer = _outer_mass(z_fine, z_prop, w_prop[..., :-1])
+    return jnp.mean(
+        jnp.clip(w_f - w_outer, 0.0, None) ** 2 / (w_f + eps))
+
+
 # ---------------------------------------------------------------------------
 # GAN objectives
 # ---------------------------------------------------------------------------
@@ -178,6 +216,9 @@ def ssim(img0, img1, max_val: float = 1.0, filter_size: int = 11,
     if img0.ndim == 3:
         img0 = img0[None]
         img1 = img1[None]
+    # images smaller than the window would leave a zero-size VALID conv
+    # output (mean of empty = nan); shrink the window like skimage does.
+    filter_size = min(filter_size, img0.shape[1], img0.shape[2])
     kernel = _gaussian_kernel(filter_size, filter_sigma)
 
     def blur(x):

@@ -86,11 +86,14 @@ class NeRFDownXSystem(NeRFSystem):
         lr_rgbs = batch["rgbs"]                   # (B, 3)
         losses: Dict[str, Any] = {}
         loss_tot = 0.0
+        has_coarse = "coarse_rgb" in out          # absent in fast mode
 
-        coarse_lr = subpixel_mean(out["coarse_rgb"], ds2)
-        coarse_mse = jnp.mean((coarse_lr - lr_rgbs) ** 2)
-        losses["coarse_mse"] = coarse_mse
-        loss_tot = loss_tot + coarse_mse * opt.lambda_coarse_mse
+        coarse_lr = None
+        if has_coarse:
+            coarse_lr = subpixel_mean(out["coarse_rgb"], ds2)
+            coarse_mse = jnp.mean((coarse_lr - lr_rgbs) ** 2)
+            losses["coarse_mse"] = coarse_mse
+            loss_tot = loss_tot + coarse_mse * opt.lambda_coarse_mse
 
         fine_lr = None
         if "fine_rgb" in out:
@@ -101,9 +104,12 @@ class NeRFDownXSystem(NeRFSystem):
         else:
             losses["fine_mse"] = jnp.zeros(())
 
+        loss_tot = self._interlevel(out, losses, loss_tot)
+
         # sub-pixel color variance regularizer (reference :332-336)
         if opt.use_var_loss:
-            cv = subpixel_var(out["coarse_rgb"], ds2)
+            cv = subpixel_var(out["coarse_rgb"], ds2) if has_coarse \
+                else jnp.zeros(())
             fv = subpixel_var(out["fine_rgb"], ds2) if fine_lr is not None \
                 else jnp.zeros(())
             losses["out_coarse_var"] = cv
@@ -114,7 +120,8 @@ class NeRFDownXSystem(NeRFSystem):
         # sub-pixel depth variance regularizer, far-normalized (:349-353)
         if opt.use_depth_var_loss:
             far = batch["far"].reshape(-1)[0]
-            cdv = subpixel_var(out["coarse_depth"] / far, ds2)
+            cdv = subpixel_var(out["coarse_depth"] / far, ds2) \
+                if has_coarse else jnp.zeros(())
             fdv = subpixel_var(out["fine_depth"] / far, ds2) \
                 if "fine_depth" in out else jnp.zeros(())
             losses["coarse_depth_var"] = cdv
@@ -125,15 +132,17 @@ class NeRFDownXSystem(NeRFSystem):
         # SISR supervision of the HR output (reference :364-367)
         if "rgbs_sr" in batch:
             sr = batch["rgbs_sr"].reshape(-1, batch["rgbs_sr"].shape[-1])
-            c_sr = jnp.mean((out["coarse_rgb"] - sr) ** 2)
+            c_sr = jnp.mean((out["coarse_rgb"] - sr) ** 2) if has_coarse \
+                else jnp.zeros(())
             f_sr = jnp.mean((out["fine_rgb"] - sr) ** 2) \
                 if "fine_rgb" in out else jnp.zeros(())
             losses["coarse_mse_sr"] = c_sr
             losses["fine_mse_sr"] = f_sr
             loss_tot = loss_tot + c_sr + f_sr
 
-        losses["coarse_psnr"] = jax.lax.stop_gradient(
-            psnr_fn(coarse_lr, lr_rgbs))
+        if coarse_lr is not None:
+            losses["coarse_psnr"] = jax.lax.stop_gradient(
+                psnr_fn(coarse_lr, lr_rgbs))
         losses["fine_psnr"] = jax.lax.stop_gradient(
             psnr_fn(fine_lr, lr_rgbs)) if fine_lr is not None \
             else jnp.zeros(())
@@ -141,8 +150,9 @@ class NeRFDownXSystem(NeRFSystem):
         # HR PSNR vs the HR ground truth when present (reference :386-388)
         if "rgbs_ori" in batch:
             hr = batch["rgbs_ori"].reshape(-1, 3)
-            losses["coarse_psnr_ori"] = jax.lax.stop_gradient(
-                psnr_fn(out["coarse_rgb"], hr))
+            if has_coarse:
+                losses["coarse_psnr_ori"] = jax.lax.stop_gradient(
+                    psnr_fn(out["coarse_rgb"], hr))
             if "fine_rgb" in out:
                 losses["fine_psnr_ori"] = jax.lax.stop_gradient(
                     psnr_fn(out["fine_rgb"], hr))

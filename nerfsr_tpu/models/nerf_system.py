@@ -70,7 +70,19 @@ class NeRFSystem:
             fused_dtype="f32" if opt.precision == "f32" else "bf16",
             fused_bwd=getattr(opt, "pallas_mlp_bwd", "xla"),
             pallas_interpret=getattr(opt, "pallas_interpret", False),
+            fast_sampling=getattr(opt, "fast_sampling", False),
+            n_prop=getattr(opt, "n_prop", 64),
+            deg_prop=getattr(opt, "deg_prop", 6),
         )
+        self.prop_mlp = None
+        if self.render_cfg.fast_sampling:
+            from nerfsr_tpu.models.mlp import ProposalMLP
+            self.prop_mlp = ProposalMLP(
+                depth=getattr(opt, "prop_D", 4),
+                width=getattr(opt, "prop_W", 64),
+                init_type=opt.init_type,
+                init_gain=getattr(opt, "init_gain", 0.02),
+                compute_dtype=_compute_dtype(opt.precision))
         if getattr(opt, "mlp_network", "vanilla_mlp") == "neutex_mlp":
             from nerfsr_tpu.models.mlp import NeuTexMLP
             self.mlp = NeuTexMLP(
@@ -125,7 +137,8 @@ class NeRFSystem:
         return self
 
     def init_params(self, key: jax.Array):
-        """Initialize coarse+fine parameter pytrees."""
+        """Initialize coarse+fine (or prop+fine in --fast_sampling mode)
+        parameter pytrees."""
         c_pos = posenc_channels(self.opt.dim_pos, self.opt.deg_pos,
                                 not self.opt.no_xyz)
         c_dir = posenc_channels(self.opt.dim_dir, self.opt.deg_dir,
@@ -133,6 +146,14 @@ class NeRFSystem:
         xyz = jnp.zeros((1, 1, c_pos))
         drc = jnp.zeros((1, 1, c_dir)) if not self.opt.no_dir else None
         k1, k2 = jax.random.split(key)
+        if self.prop_mlp is not None:
+            c_prop = posenc_channels(
+                self.opt.dim_pos, self.render_cfg.deg_prop,
+                not self.opt.no_xyz)
+            return {
+                "prop": self.prop_mlp.init(k1, jnp.zeros((1, 1, c_prop))),
+                "fine": self.mlp.init(k2, xyz, drc),
+            }
         params = {
             "coarse": self.mlp.init(k1, xyz, drc),
             "fine": self.mlp.init(k2, xyz, drc),
@@ -178,6 +199,11 @@ class NeRFSystem:
     # forward / loss
     # ------------------------------------------------------------------
     def render(self, params, rays: Rays, key, randomized: bool):
+        if self.prop_mlp is not None:
+            from nerfsr_tpu.models.render import render_rays_fast
+            return render_rays_fast(self.mlp, self.prop_mlp, params,
+                                    rays, key, self.render_cfg,
+                                    randomized)
         return render_rays(
             self.mlp, params["coarse"], params.get("fine"), rays, key,
             self.render_cfg, randomized)
@@ -194,9 +220,10 @@ class NeRFSystem:
         losses = {}
         loss_tot = 0.0
 
-        coarse_mse = jnp.mean((out["coarse_rgb"] - rgbs) ** 2)
-        losses["coarse_mse"] = coarse_mse
-        loss_tot = loss_tot + coarse_mse * opt.lambda_coarse_mse
+        if "coarse_rgb" in out:  # absent in --fast_sampling mode
+            coarse_mse = jnp.mean((out["coarse_rgb"] - rgbs) ** 2)
+            losses["coarse_mse"] = coarse_mse
+            loss_tot = loss_tot + coarse_mse * opt.lambda_coarse_mse
 
         if "fine_rgb" in out:
             fine_mse = jnp.mean((out["fine_rgb"] - rgbs) ** 2)
@@ -205,13 +232,16 @@ class NeRFSystem:
         else:
             losses["fine_mse"] = jnp.zeros(())
 
+        loss_tot = self._interlevel(out, losses, loss_tot)
+
         extra = self._extra_losses(out, batch)
         for name, (val, weight) in extra.items():
             losses[name] = val
             loss_tot = loss_tot + val * weight
 
-        losses["coarse_psnr"] = jax.lax.stop_gradient(
-            psnr_fn(out["coarse_rgb"], rgbs))
+        if "coarse_rgb" in out:
+            losses["coarse_psnr"] = jax.lax.stop_gradient(
+                psnr_fn(out["coarse_rgb"], rgbs))
         if "fine_rgb" in out:
             losses["fine_psnr"] = jax.lax.stop_gradient(
                 psnr_fn(out["fine_rgb"], rgbs))
@@ -219,6 +249,16 @@ class NeRFSystem:
             losses["fine_psnr"] = jnp.zeros(())
         losses["tot"] = loss_tot
         return loss_tot, losses
+
+    def _interlevel(self, out, losses, loss_tot):
+        """Proposal-histogram bound loss (--fast_sampling only)."""
+        if "prop_weights" not in out:
+            return loss_tot
+        from nerfsr_tpu.models.criterions import interlevel_loss
+        il = interlevel_loss(out["fine_z"], out["fine_weights"],
+                             out["prop_z"], out["prop_weights"])
+        losses["interlevel"] = il
+        return loss_tot + il * getattr(self.opt, "lambda_interlevel", 1.0)
 
     def _extra_losses(self, out, batch):
         """Hook for subclasses (downX variance losses, patch losses)."""
@@ -422,8 +462,10 @@ class NeRFSystem:
         """
         from jax.sharding import PartitionSpec as P
         shard_map = getattr(jax, "shard_map", None)
+        sm_kwargs = {}
         if shard_map is None:  # pre-0.4.35 fallback
             from jax.experimental.shard_map import shard_map
+            sm_kwargs["check_rep"] = False  # kwarg removed in jax.shard_map
 
         def spmd_step(state, batch, key):
             step_key = jax.random.fold_in(key, state.step)
@@ -452,7 +494,7 @@ class NeRFSystem:
             spmd_step, mesh=mesh,
             in_specs=(P(), batch_spec, P()),
             out_specs=(P(), P()),
-            check_rep=False)
+            **sm_kwargs)
         return jax.jit(sharded, donate_argnums=0)
 
     @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=1)
@@ -499,9 +541,9 @@ class NeRFSystem:
         rays = self._batch_to_rays(batch)
         out = self.render(params, rays, jax.random.PRNGKey(0),
                           randomized=False)
-        keep = ["coarse_rgb", "coarse_depth", "coarse_opacity"]
-        if "fine_rgb" in out:
-            keep += ["fine_rgb", "fine_depth", "fine_opacity"]
+        keep = [k for k in ("coarse_rgb", "coarse_depth",
+                            "coarse_opacity", "fine_rgb", "fine_depth",
+                            "fine_opacity") if k in out]
         return {k: out[k] for k in keep}
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -522,9 +564,9 @@ class NeRFSystem:
             r = self._batch_to_rays(sl)
             out = self.render(params, r, jax.random.PRNGKey(0),
                               randomized=False)
-            keep = ["coarse_rgb", "coarse_depth", "coarse_opacity"]
-            if "fine_rgb" in out:
-                keep += ["fine_rgb", "fine_depth", "fine_opacity"]
+            keep = [k for k in ("coarse_rgb", "coarse_depth",
+                                "coarse_opacity", "fine_rgb",
+                                "fine_depth", "fine_opacity") if k in out]
             return {k: out[k] for k in keep}
 
         out = jax.lax.map(render_chunk, stacked)
@@ -540,7 +582,9 @@ class NeRFSystem:
         from nerfsr_tpu.models.criterions import ssim as ssim_fn
 
         gt = sample["rgbs"]
-        m = {"coarse_psnr": float(psnr_fn(out["coarse_rgb"], gt))}
+        m = {}
+        if "coarse_rgb" in out:
+            m["coarse_psnr"] = float(psnr_fn(out["coarse_rgb"], gt))
         m["fine_psnr"] = float(psnr_fn(out["fine_rgb"], gt)) \
             if "fine_rgb" in out else m["coarse_psnr"]
         w, h = self.opt.img_wh

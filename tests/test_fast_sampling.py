@@ -1,0 +1,167 @@
+"""--fast_sampling (proposal-MLP importance sampling) tests: output
+structure, interlevel-loss semantics, optimization descent, and
+end-to-end engine training. The parity coarse+fine path must be
+untouched when the flag is off (covered by the rest of the suite)."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nerfsr_tpu.config import default_options
+from nerfsr_tpu.models import create_model
+from nerfsr_tpu.models.criterions import interlevel_loss
+
+
+def _ray_batch(n, seed=0):
+    rng = np.random.RandomState(seed)
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return {
+        "origins": jnp.asarray(rng.randn(n, 3).astype(np.float32) * 0.1),
+        "directions": jnp.asarray(d),
+        "viewdirs": jnp.asarray(d),
+        "near": jnp.zeros((n, 1), jnp.float32),
+        "far": jnp.ones((n, 1), jnp.float32),
+        "rgbs": jnp.asarray(rng.rand(n, 3).astype(np.float32)),
+    }
+
+
+def _fast_opt(**kw):
+    base = dict(model="nerf", dataset_mode="llff", batch_size=32,
+                fast_sampling=True, n_prop=16, N_importance=8,
+                prop_D=2, prop_W=16, D=2, W=32, precision="f32",
+                white_bkgd=False, noise_std=0.0, n_epochs=2,
+                n_epochs_decay=1)
+    base.update(kw)
+    return default_options("train", **base)
+
+
+class TestFastRender:
+    def test_output_structure(self):
+        opt = _fast_opt()
+        system = create_model(opt)
+        params = system.init_params(jax.random.PRNGKey(0))
+        assert set(params.keys()) == {"prop", "fine"}
+        batch = _ray_batch(8)
+        out = system.render(params, system._batch_to_rays(batch),
+                            jax.random.PRNGKey(1), randomized=True)
+        assert "coarse_rgb" not in out
+        assert out["fine_rgb"].shape == (8, 3)
+        assert out["fine_z"].shape == (8, opt.N_importance)
+        assert out["prop_weights"].shape == (8, opt.n_prop)
+        # fine depths must be sorted and inside [near, far]
+        z = np.asarray(out["fine_z"])
+        assert np.all(np.diff(z, axis=-1) >= 0)
+        assert z.min() >= 0.0 and z.max() <= 1.0
+
+    def test_render_image_and_metrics(self):
+        opt = _fast_opt(img_wh=(8, 8), ray_chunk=32)
+        system = create_model(opt)
+        params = system.init_params(jax.random.PRNGKey(0))
+        rays = {k: np.asarray(v) for k, v in _ray_batch(64).items()}
+        out = system.render_image(params, rays)
+        assert out["fine_rgb"].shape == (64, 3)
+        assert "coarse_rgb" not in out
+        m = system.eval_metrics(out, {"rgbs": rays["rgbs"]})
+        assert np.isfinite(m["fine_psnr"]) and np.isfinite(m["fine_ssim"])
+
+
+class TestInterlevelLoss:
+    def test_covering_proposal_is_zero(self):
+        """A proposal that upper-bounds the fine histogram everywhere
+        incurs no loss."""
+        z = jnp.linspace(0, 1, 9)[None].repeat(2, 0)          # (2, 9)
+        w_fine = jnp.full((2, 9), 0.1)
+        w_prop = jnp.full((2, 9), 0.5)                         # generous
+        val = float(interlevel_loss(z, w_fine, z, w_prop))
+        assert val == 0.0
+
+    def test_undercovering_proposal_penalized(self):
+        z = jnp.linspace(0, 1, 9)[None].repeat(2, 0)
+        w_fine = jnp.full((2, 9), 0.1)
+        w_prop = jnp.zeros((2, 9))
+        assert float(interlevel_loss(z, w_fine, z, w_prop)) > 0
+
+    def test_grad_hits_proposal_not_fine(self):
+        z = jnp.linspace(0, 1, 9)[None].repeat(2, 0)
+        w_fine = jnp.full((2, 9), 0.1)
+        w_prop = jnp.full((2, 9), 0.01)
+        g_prop = jax.grad(
+            lambda w: interlevel_loss(z, w_fine, z, w))(w_prop)
+        g_fine = jax.grad(
+            lambda w: interlevel_loss(z, w, z, w_prop))(w_fine)
+        assert float(jnp.abs(g_prop).max()) > 0
+        assert float(jnp.abs(g_fine).max()) == 0.0  # stop_gradient
+
+
+class TestFastTraining:
+    def test_loss_descends_and_interlevel_logged(self):
+        opt = _fast_opt()
+        system = create_model(opt)
+        state = system.create_state(jax.random.PRNGKey(0),
+                                    steps_per_epoch=50)
+        buffer = _ray_batch(256)
+        key = jax.random.PRNGKey(1)
+        tots, ils = [], []
+        for _ in range(40):
+            state, losses = system.train_step_from_buffer(state, buffer,
+                                                          key)
+            tots.append(float(losses["tot"]))
+            ils.append(float(losses["interlevel"]))
+        assert all(np.isfinite(t) for t in tots)
+        assert np.mean(tots[-5:]) < np.mean(tots[:5])
+        assert np.mean(ils[-5:]) < np.mean(ils[:5])
+
+    def test_downx_fast_step(self):
+        opt = _fast_opt(model="nerf_downX", dataset_mode="llff_downX",
+                        batch_size=16, downscale=2, use_var_loss=True)
+        system = create_model(opt)
+        state = system.create_state(jax.random.PRNGKey(0),
+                                    steps_per_epoch=10)
+        rng = np.random.RandomState(0)
+        n_lr, ds2 = 64, 4
+        d = rng.randn(n_lr, ds2, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        buffer = {
+            "origins": jnp.asarray(
+                rng.randn(n_lr, ds2, 3).astype(np.float32) * 0.1),
+            "directions": jnp.asarray(d),
+            "viewdirs": jnp.asarray(d),
+            "near": jnp.zeros((n_lr, ds2, 1), jnp.float32),
+            "far": jnp.ones((n_lr, ds2, 1), jnp.float32),
+            "rgbs": jnp.asarray(rng.rand(n_lr, 3).astype(np.float32)),
+        }
+        state, losses = system.train_step_from_buffer(
+            state, buffer, jax.random.PRNGKey(1))
+        assert "interlevel" in losses and "coarse_mse" not in losses
+        assert np.isfinite(float(losses["tot"]))
+
+    def test_engine_e2e_psnr_rises(self, tmp_path):
+        from tools.make_synthetic_scene import make_scene
+        from nerfsr_tpu.engine import train
+
+        scene = str(tmp_path / "scene")
+        make_scene(scene, hw=(16, 16), n_train=2, n_val=1, n_test=1)
+        opt = default_options(
+            "train", model="nerf", dataset_mode="blender",
+            dataset_root=scene, img_wh=(16, 16), batch_size=64,
+            fast_sampling=True, n_prop=16, N_importance=16,
+            prop_D=2, prop_W=32, D=2, W=32, precision="f32",
+            n_epochs=2, n_epochs_decay=1, steps_per_epoch=40,
+            print_freq=40, save_epoch_freq=2, val_epoch_freq=2,
+            vis_epoch_freq=0, val_freq=0,
+            checkpoints_dir=str(tmp_path / "ck"),
+            summary_dir=str(tmp_path / "runs"), name="fast")
+        state = train(opt)
+        # checkpoint round-trips with the prop+fine param structure
+        from nerfsr_tpu.utils import checkpoint as ckpt
+        system = create_model(opt)
+        fresh = system.create_state(jax.random.PRNGKey(7),
+                                    steps_per_epoch=40)
+        restored = ckpt.load_checkpoint(opt, fresh, epoch=2)
+        assert int(restored.step) == int(state.step) == 80

@@ -200,5 +200,9 @@ class TestShardMapStep:
                                    rtol=2e-4)
         for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                         jax.tree_util.tree_leaves(s2.params)):
+            # adam's grad/sqrt(v) amplifies float reassociation between
+            # the per-shard pmean and the global mean; jax.shard_map's
+            # reduction order shifts it slightly vs the old experimental
+            # API (max observed 1.5e-3).
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-3, atol=1e-5)
+                                       rtol=4e-3, atol=1e-5)
