@@ -330,6 +330,11 @@ def train_refine(opt):
     key = jax.random.PRNGKey(opt.seed)
     state = system.create_state(key, steps_per_epoch)
     d_state = system.create_gan_state(key) if opt.refine_as_gan else None
+    # pix2pix fake-history pool for the D update (utils/image_pool.py)
+    gan_pool, pool_fakes = None, None
+    if d_state is not None:
+        from nerfsr_tpu.utils.image_pool import ImagePool
+        gan_pool = ImagePool(pool_size=50, seed=opt.seed)
 
     # separate val-mode dataset (reference train_refine.py builds
     # dataset_iterval from the 'val' split)
@@ -361,8 +366,10 @@ def train_refine(opt):
             batch = dataset.sample_train_batch(opt.batch_size)
             batch = jax.tree_util.tree_map(jnp.asarray, batch)
             if d_state is not None:
-                state, d_state, losses = system.gan_train_step(
-                    state, d_state, batch, key)
+                state, d_state, losses, fakes = system.gan_train_step(
+                    state, d_state, batch, key, pool_fakes)
+                pool_fakes = jnp.asarray(
+                    gan_pool.query(np.asarray(fakes)))
             else:
                 state, losses = system.train_step(state, batch, key)
             global_step += 1

@@ -297,15 +297,18 @@ class NeRFDownXSystem(NeRFSystem):
     def eval_metrics(self, out, sample):
         from nerfsr_tpu.models.criterions import ssim as ssim_fn
 
-        m = {"coarse_psnr": float(psnr_fn(out["coarse_rgb"],
-                                          sample["rgbs"]))}
+        m = {}
+        if "coarse_rgb" in out:  # absent in --fast_sampling mode
+            m["coarse_psnr"] = float(psnr_fn(out["coarse_rgb"],
+                                             sample["rgbs"]))
         m["fine_psnr"] = float(psnr_fn(out["fine_rgb"], sample["rgbs"])) \
             if "fine_rgb" in out else m["coarse_psnr"]
         if "rgbs_ori" in sample:
             # _ori outputs are HR scan order; gt is grouped -> ungroup
             hr = self._ungroup(sample["rgbs_ori"])
-            m["coarse_psnr_ori"] = float(psnr_fn(
-                out["coarse_rgb_ori"], hr))
+            if "coarse_rgb_ori" in out:
+                m["coarse_psnr_ori"] = float(psnr_fn(
+                    out["coarse_rgb_ori"], hr))
             if "fine_rgb_ori" in out:
                 m["fine_psnr_ori"] = float(psnr_fn(
                     out["fine_rgb_ori"], hr))

@@ -217,10 +217,17 @@ class RefineSystem:
                 "opt_state": self.txD.init(variables["params"])}
 
     @functools.partial(jax.jit, static_argnums=0)
-    def gan_train_step(self, state: RefineState, d_state, batch, key):
+    def gan_train_step(self, state: RefineState, d_state, batch, key,
+                       pool_fakes=None):
         """One lsgan G+D update pair (reference backward_D/backward_G,
         :106-131): D minimizes (D(gt)-1)^2 + D(G)^2, G minimizes
-        (D(G)-1)^2 + 100 * L1(G, gt)."""
+        (D(G)-1)^2 + lambda_L1 * L1(G, gt).
+
+        pool_fakes: optional history-mixed fake batch (ImagePool) the
+        DISCRIMINATOR trains on instead of the current fakes — the
+        pix2pix stabilization the reference's ``utils/image_pool.py``
+        provides. Returns (state, d_state, losses, fakes) where fakes
+        feed the engine-side pool."""
         del key
         gt = batch["gt_patch"]
 
@@ -228,13 +235,14 @@ class RefineSystem:
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["sr_patch"], batch["ref_patches"], train=True)
         pred_sg = jax.lax.stop_gradient(pred)
+        d_fake_in = pred_sg if pool_fakes is None else pool_fakes
 
         def d_apply(p, bs, x):
             return self.netD.apply({"params": p, "batch_stats": bs}, x,
                                    update_stats=False)
 
         def d_loss_fn(pd):
-            fake = d_apply(pd, d_state["batch_stats"], pred_sg)
+            fake = d_apply(pd, d_state["batch_stats"], d_fake_in)
             real = d_apply(pd, d_state["batch_stats"], gt)
             loss_fake = jnp.mean(fake ** 2)
             loss_real = jnp.mean((real - 1.0) ** 2)
@@ -269,7 +277,7 @@ class RefineSystem:
                  "opt_state": d_opt}
         losses = {"G_GAN": g_gan, "G_L1": g_l1, "D_real": d_real,
                   "D_fake": d_fake}
-        return new_state, new_d, losses
+        return new_state, new_d, losses, pred_sg
 
     # ------------------------------------------------------------------
     def refine_image(self, state, tiles, batch=8):

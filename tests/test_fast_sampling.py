@@ -165,3 +165,37 @@ class TestFastTraining:
                                     steps_per_epoch=40)
         restored = ckpt.load_checkpoint(opt, fresh, epoch=2)
         assert int(restored.step) == int(state.step) == 80
+
+
+class TestFastDownXEval:
+    def test_downx_eval_metrics_and_visuals(self):
+        """downX eval paths tolerate the missing coarse level in fast
+        mode (regression: KeyError 'coarse_rgb' at val_iter)."""
+        opt = _fast_opt(model="nerf_downX", dataset_mode="llff_downX",
+                        batch_size=8, downscale=2, img_wh=(8, 8),
+                        ray_chunk=64)
+        system = create_model(opt)
+        params = system.init_params(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        n_lr, ds2 = 16, 4  # 8x8 HR image = 16 LR px * 4 sub-rays
+        d = rng.randn(n_lr, ds2, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        sample = {
+            "origins": rng.randn(n_lr, ds2, 3).astype(np.float32) * 0.1,
+            "directions": d,
+            "viewdirs": d,
+            "near": np.zeros((n_lr, ds2, 1), np.float32),
+            "far": np.ones((n_lr, ds2, 1), np.float32),
+            "rgbs": rng.rand(n_lr, 3).astype(np.float32),
+            "rgbs_ori": rng.rand(n_lr, ds2, 3).astype(np.float32),
+        }
+        out = system.render_image(params, sample)
+        assert "fine_rgb" in out and "fine_rgb_ori" in out
+        assert "coarse_rgb" not in out
+        m = system.eval_metrics(out, sample)
+        assert np.isfinite(m["fine_psnr"])
+        assert np.isfinite(m["fine_psnr_ori"])
+        vis = system.eval_visuals(out, sample, 0, with_gt=True,
+                                  depth_bounds=(0.0, 1.0))
+        names = {v.name for v in vis}
+        assert "0-fine-ori" in names and "0-fine-depth-ori" in names

@@ -100,3 +100,42 @@ class TestDownXGanStep:
         # far edges zero by construction
         np.testing.assert_allclose(np.asarray(mag[0, -1, -1]), 0,
                                    atol=1e-5)
+
+
+class TestRefineGanPool:
+    def test_refine_gan_step_with_image_pool(self):
+        """--refine_as_gan D-step trains on history-mixed fakes via
+        ImagePool (pix2pix stabilization, utils/image_pool.py)."""
+        import numpy as np
+        from nerfsr_tpu.config import default_options
+        from nerfsr_tpu.models import create_model
+        from nerfsr_tpu.utils.image_pool import ImagePool
+
+        opt = default_options(
+            "train", model="refine", dataset_mode="llff_refine",
+            patch_len=32, batch_size=2, num_ref_patches=2,
+            refine_network="maxpoolingmodel", refine_as_gan=True,
+            refine_with_l1=True, n_epochs=1, n_epochs_decay=0)
+        system = create_model(opt)
+        state = system.create_state(jax.random.PRNGKey(0),
+                                    steps_per_epoch=5)
+        d_state = system.create_gan_state(jax.random.PRNGKey(1))
+        rng = np.random.RandomState(0)
+        batch = {
+            "sr_patch": jnp.asarray(
+                rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1),
+            "ref_patches": jnp.asarray(
+                rng.rand(2, 2, 32, 32, 3).astype(np.float32) * 2 - 1),
+            "gt_patch": jnp.asarray(
+                rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1),
+        }
+        pool = ImagePool(pool_size=4, seed=0)
+        pool_fakes = None
+        for _ in range(3):
+            state, d_state, losses, fakes = system.gan_train_step(
+                state, d_state, batch, jax.random.PRNGKey(2), pool_fakes)
+            pool_fakes = jnp.asarray(pool.query(np.asarray(fakes)))
+        assert fakes.shape == (2, 32, 32, 3)
+        assert len(pool.images) > 0
+        for v in losses.values():
+            assert np.isfinite(float(v))
