@@ -92,6 +92,46 @@ def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray,
     return bins_below + t * (bins_above - bins_below)
 
 
+def sample_pdf_stratified(key, bins: jnp.ndarray, weights: jnp.ndarray,
+                          num_samples: int, randomized: bool):
+    """Inverse-CDF sampling with STRATIFIED uniforms: u_i is jittered
+    inside its own [i/N, (i+1)/N) cell, so u — and therefore the
+    CDF-inverse output — is sorted per ray by construction. Used by the
+    --fast_sampling path: removes the (N, S) sort the merge-free
+    resample would otherwise need (~5 ms/step at flagship shapes) and
+    lowers sampling variance. Same eps/denominator edge cases as
+    ``sample_pdf``."""
+    eps = 1e-5
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+
+    n_rays, n_bins = bins.shape
+    base = jnp.arange(num_samples, dtype=bins.dtype)
+    if randomized:
+        jitter = jax.random.uniform(key, (n_rays, num_samples),
+                                    dtype=bins.dtype)
+    else:
+        jitter = jnp.full((n_rays, num_samples), 0.5, bins.dtype)
+    u = (base + jitter) / num_samples
+
+    inds = jnp.sum(
+        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, n_bins - 1)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < eps, 1.0, denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
 def resample_along_rays(key, origins, directions, z_vals, weights,
                         num_samples: int, randomized: bool):
     """Hierarchical fine resampling merged with the coarse depths.

@@ -21,7 +21,8 @@ from nerfsr_tpu.core.rays import Rays
 from nerfsr_tpu.core.rendering import (add_gaussian_noise, compute_weights,
                                        volumetric_rendering)
 from nerfsr_tpu.core.sampling import (cast_rays, resample_along_rays,
-                                      sample_along_rays, sample_pdf)
+                                      sample_along_rays,
+                                      sample_pdf_stratified)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,13 +132,14 @@ def render_rays_fast(mlp, prop_mlp, params, rays: Rays,
 
     # 2) inverse-CDF resample from the proposal histogram ONLY (no merge
     # with the proposal depths — the whole point is fewer big-MLP
-    # samples). Same midpoint-bin / inner-weight convention as the
-    # parity resample (core/sampling.py:95-111).
+    # samples). Stratified uniforms keep the output sorted per ray by
+    # construction, so no (N, S) sort is needed. Same midpoint-bin /
+    # inner-weight convention as the parity resample
+    # (core/sampling.py:95-111).
     bins = 0.5 * (z_prop[..., :-1] + z_prop[..., 1:])
-    z_fine = sample_pdf(
+    z_fine = sample_pdf_stratified(
         k_resample, bins, jax.lax.stop_gradient(w_prop[..., 1:-1]),
         cfg.n_importance, randomized)
-    z_fine = jnp.sort(z_fine, axis=-1)
     points = cast_rays(rays.origins, rays.directions, z_fine)
 
     # 3) single big-MLP level.

@@ -26,6 +26,8 @@ def main():
     p.add_argument("--steps", type=int, default=6000)
     p.add_argument("--wh", type=int, nargs=2, default=[504, 378])
     p.add_argument("--n_imgs", type=int, default=8)
+    p.add_argument("--fast_sampling", action="store_true",
+                   help="proposal-MLP sampling (see config.py)")
     args = p.parse_args()
 
     import jax
@@ -49,6 +51,7 @@ def main():
         dataset_root=scene, img_wh=(w, h), downscale=2, batch_size=512,
         N_coarse=64, N_importance=64, precision="mixed",
         white_bkgd=False, noise_std=1.0, include_var=True,
+        fast_sampling=args.fast_sampling,
         n_epochs=30, n_epochs_decay=10, lr=5e-4, lr_final=5e-6)
     system = create_model(opt)
     ds = create_dataset(opt, "train")
