@@ -271,6 +271,12 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
     p.add_argument("--lambda_interlevel", type=float, default=1.0,
                    help="proposal-histogram bound loss weight "
                         "(--fast_sampling)")
+    p.add_argument("--fast_uniform_frac", type=float, default=0.0,
+                   help="fraction of N_importance drawn uniformly "
+                        "instead of from the proposal CDF (defensive "
+                        "coverage option; 0 = pure proposal sampling, "
+                        "the configuration validated at parity quality "
+                        "on LLFF)")
     p.add_argument("--scan_steps", type=int, default=0,
                    help="fold N optimization steps into one compiled "
                         "lax.scan program (amortizes dispatch; 0 = off)")

@@ -51,6 +51,7 @@ class RenderConfig:
     fast_sampling: bool = False
     n_prop: int = 64               # --n_prop proposal samples
     deg_prop: int = 6              # --deg_prop proposal posenc degree
+    uniform_frac: float = 0.0      # --fast_uniform_frac defensive mix
 
 
 def _eval_level(mlp, params, rays: Rays, points, z_vals, dir_emb,
@@ -130,16 +131,28 @@ def render_rays_fast(mlp, prop_mlp, params, rays: Rays,
     sigma_prop = prop_mlp.apply(params["prop"], prop_emb)
     w_prop = compute_weights(sigma_prop, z_prop, cfg.sigma_activation)
 
-    # 2) inverse-CDF resample from the proposal histogram ONLY (no merge
-    # with the proposal depths — the whole point is fewer big-MLP
-    # samples). Stratified uniforms keep the output sorted per ray by
-    # construction, so no (N, S) sort is needed. Same midpoint-bin /
-    # inner-weight convention as the parity resample
-    # (core/sampling.py:95-111).
+    # 2) inverse-CDF resample from the proposal histogram (no merge with
+    # the proposal depths — the whole point is fewer big-MLP samples),
+    # optionally MIXED with a uniform_frac of stratified uniform depths
+    # (--fast_uniform_frac): the uniform fraction keeps every ray
+    # segment under direct fine-MSE gradient pressure, a defensive
+    # option for scenes where proposal-guided samples might leave
+    # regions unsupervised. Stratified uniforms keep each part sorted;
+    # the merge needs one cheap sort. Midpoint-bin / inner-weight
+    # convention matches the parity resample (core/sampling.py:95-111).
+    n_uni = int(round(cfg.n_importance * cfg.uniform_frac))
+    n_cdf = cfg.n_importance - n_uni
     bins = 0.5 * (z_prop[..., :-1] + z_prop[..., 1:])
     z_fine = sample_pdf_stratified(
         k_resample, bins, jax.lax.stop_gradient(w_prop[..., 1:-1]),
-        cfg.n_importance, randomized)
+        n_cdf, randomized)
+    if n_uni > 0:
+        k_uni = jax.random.fold_in(k_resample, 1)
+        z_uni, _ = sample_along_rays(
+            k_uni, rays.origins, rays.directions, rays.near, rays.far,
+            n_uni, randomized, cfg.lindisp)
+        z_fine = jnp.sort(
+            jnp.concatenate([z_fine, z_uni], axis=-1), axis=-1)
     points = cast_rays(rays.origins, rays.directions, z_fine)
 
     # 3) single big-MLP level.
