@@ -48,6 +48,24 @@ def sample_along_rays(key, origins, directions, near, far, num_samples: int,
     return z_vals, cast_rays(origins, directions, z_vals)
 
 
+def select_along_axis(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched ``values[n, idx[n, q]]`` without a TPU gather.
+
+    ``jnp.take_along_axis`` lowers to a dynamic gather that costs ~2 us
+    PER ELEMENT on TPU (~8 ms for the four lookups of one flagship
+    resample, measured); an exact one-hot mask + sum over the bin axis
+    is a fully-parallel VPU reduction (~0.17 ms for the same work). The
+    mask selects exactly one element per (n, q) and the other terms are
+    an exact 0, so the result is bit-identical to the gather.
+
+    values: (N, B); idx: int (N, Q) -> (N, Q).
+    """
+    iota = jnp.arange(values.shape[-1], dtype=idx.dtype)
+    mask = idx[..., None] == iota                       # (N, Q, B)
+    return jnp.sum(
+        jnp.where(mask, values[..., None, :], 0), axis=-1)
+
+
 def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray,
                num_samples: int, randomized: bool) -> jnp.ndarray:
     """Inverse-CDF sampling of ``num_samples`` new depths from a piecewise
@@ -81,10 +99,10 @@ def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray,
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, n_bins - 1)  # == N_samples_ in the reference
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    cdf_below = select_along_axis(cdf, below)
+    cdf_above = select_along_axis(cdf, above)
+    bins_below = select_along_axis(bins, below)
+    bins_above = select_along_axis(bins, above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < eps, 1.0, denom)
@@ -121,10 +139,10 @@ def sample_pdf_stratified(key, bins: jnp.ndarray, weights: jnp.ndarray,
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, n_bins - 1)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    cdf_below = select_along_axis(cdf, below)
+    cdf_above = select_along_axis(cdf, above)
+    bins_below = select_along_axis(bins, below)
+    bins_above = select_along_axis(bins, above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < eps, 1.0, denom)

@@ -17,6 +17,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from nerfsr_tpu.core.sampling import select_along_axis
+
 
 # ---------------------------------------------------------------------------
 # basic
@@ -126,8 +128,8 @@ def _outer_mass(t_q, t_env, w_env):
     lt = jnp.sum((t_env[:, None, :] < t_q[:, :, None]), -1)
     idx_lo = jnp.clip(le[:, :-1], 0, n_edges - 1)
     idx_hi = jnp.clip(lt[:, 1:], 0, n_edges - 1)
-    mass_lo = jnp.take_along_axis(cw, idx_lo, -1)
-    mass_hi = jnp.take_along_axis(cw, idx_hi, -1)
+    mass_lo = select_along_axis(cw, idx_lo)
+    mass_hi = select_along_axis(cw, idx_hi)
     return jnp.maximum(mass_hi - mass_lo, 0.0)
 
 

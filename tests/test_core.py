@@ -157,6 +157,50 @@ class TestStratifiedSampling:
         assert (np.diff(z, axis=-1) > 0).all()  # sorted by construction
 
 
+class TestSelectAlongAxis:
+    """select_along_axis is the TPU-fast (gather-free) replacement for
+    take_along_axis inside the inverse-CDF samplers and the interlevel
+    loss; it must be BIT-identical to the gather (the golden sample_pdf
+    tests depend on it)."""
+
+    def test_bit_identical_to_take_along_axis(self):
+        from nerfsr_tpu.core.sampling import select_along_axis
+
+        r = rng(11)
+        vals = r.randn(16, 65).astype(np.float32)
+        idx = r.randint(0, 65, size=(16, 64)).astype(np.int32)
+        # include the edge indices explicitly
+        idx[0, 0], idx[0, 1] = 0, 64
+        got = np.asarray(select_along_axis(jnp.asarray(vals),
+                                           jnp.asarray(idx)))
+        want = np.take_along_axis(vals, idx, axis=-1)
+        assert (got == want).all()
+
+    def test_leading_batch_dims(self):
+        from nerfsr_tpu.core.sampling import select_along_axis
+
+        r = rng(12)
+        vals = r.randn(3, 5, 9).astype(np.float32)
+        idx = r.randint(0, 9, size=(3, 5, 4)).astype(np.int32)
+        got = np.asarray(select_along_axis(jnp.asarray(vals),
+                                           jnp.asarray(idx)))
+        want = np.take_along_axis(vals, idx, axis=-1)
+        assert (got == want).all()
+
+    def test_gradient_matches_gather(self):
+        from nerfsr_tpu.core.sampling import select_along_axis
+
+        r = rng(13)
+        vals = jnp.asarray(r.randn(4, 8).astype(np.float32))
+        idx = jnp.asarray(r.randint(0, 8, size=(4, 6)).astype(np.int32))
+        g1 = jax.grad(lambda v: jnp.sum(select_along_axis(v, idx) ** 2))(
+            vals)
+        g2 = jax.grad(lambda v: jnp.sum(
+            jnp.take_along_axis(v, idx, axis=-1) ** 2))(vals)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-6, atol=1e-6)
+
+
 class TestInverseCDF:
     def _golden_sample_pdf(self, bins, weights, u):
         """numpy transcription of models/utils.py:61-92."""
