@@ -69,6 +69,25 @@ def _grouped_buffer(n_lr, ds2, seed=0):
     }
 
 
+def _bench_eval(opt, n_lr, ds2):
+    """Eval render throughput: one flagship-sized image (n_lr * ds^2 HR
+    rays) through render_image (single on-device lax.map dispatch)."""
+    import jax
+
+    from nerfsr_tpu.models import create_model
+
+    system = create_model(opt)
+    state = system.create_state(jax.random.PRNGKey(0),
+                                steps_per_epoch=2000)
+    rays = {k: v for k, v in _grouped_buffer(n_lr, ds2, seed=1).items()
+            if k in ("origins", "directions", "viewdirs", "near", "far")}
+    out = system.render_image(state.params, rays)  # compile
+    t0 = time.perf_counter()
+    out = system.render_image(state.params, rays)
+    assert float(out["fine_rgb"].sum()) == float(out["fine_rgb"].sum())
+    return time.perf_counter() - t0
+
+
 def main():
     from nerfsr_tpu.config import default_options
 
@@ -87,7 +106,7 @@ def main():
         batch_size=batch_lr, N_coarse=64, N_importance=64,
         precision="mixed", white_bkgd=False, noise_std=1.0,
         downscale=ds, include_var=True, fast_sampling=True,
-        n_epochs=30, n_epochs_decay=10)
+        img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
     dt_fast = _bench_system(opt_fast, grouped, n_steps)
     fast_rays_per_sec = n_steps * n_hr_rays / dt_fast
 
@@ -100,6 +119,12 @@ def main():
     dt = _bench_system(opt, grouped, n_steps)
     parity_rays_per_sec = n_steps * n_hr_rays / dt
 
+    # TERTIARY: eval render throughput at flagship image size (504x378 =
+    # 190512 HR rays; feeds the test/warp/refine pipeline stages).
+    n_lr_img = (504 * 378) // (ds * ds)
+    dt_eval = _bench_eval(opt_fast, n_lr_img, ds * ds)
+    eval_rays_per_sec = n_lr_img * ds * ds / dt_eval
+
     print(json.dumps({
         "metric": "train rays/sec/chip (LLFF x2 SS flagship step, "
                   "--fast_sampling, PSNR-parity-validated)",
@@ -108,6 +133,7 @@ def main():
         "vs_baseline": round(fast_rays_per_sec / REFERENCE_RAYS_PER_SEC,
                              2),
         "parity_path_rays_per_sec": round(parity_rays_per_sec, 1),
+        "eval_render_rays_per_sec": round(eval_rays_per_sec, 1),
     }))
 
 

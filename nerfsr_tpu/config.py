@@ -226,6 +226,10 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
     p.add_argument("--output_nc", type=int, default=3)
     p.add_argument("--norm", type=str, default="batch")
     p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--num_downs", type=int, default=6,
+                   help="U-Net depth (reference hardcodes 6, "
+                        "models/networks.py:346; exposed so tiny "
+                        "patches/tests can shrink the net)")
     p.add_argument("--ndf_dis", type=int, default=64)
     p.add_argument("--n_layers_D", type=int, default=3,
                    help="compat no-op: dead flag in the reference too "

@@ -46,7 +46,15 @@ class RefineSystem:
     def __init__(self, opt):
         self.opt = opt
         if opt.refine_network == "unetgenerator":
-            self.net = UnetGenerator(learn_residual=opt.learn_residual)
+            # --ngf/--output_nc/--norm flow through (reference
+            # UnetGenerator signature, models/networks.py:346-352);
+            # num_downs=6 is the reference's hard default.
+            self.net = UnetGenerator(
+                output_nc=getattr(opt, "output_nc", 3),
+                ngf=getattr(opt, "ngf", 64),
+                num_downs=getattr(opt, "num_downs", 6),
+                norm=getattr(opt, "norm", "batch"),
+                learn_residual=opt.learn_residual)
         elif opt.refine_network == "maxpoolingmodel":
             self.net = MaxPoolingModel(use_ref=True)
         else:

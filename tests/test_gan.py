@@ -111,10 +111,14 @@ class TestRefineGanPool:
         from nerfsr_tpu.models import create_model
         from nerfsr_tpu.utils.image_pool import ImagePool
 
+        # tiny U-Net: the pool/D wiring under test is network-agnostic,
+        # and the VNPCAT maxpooling net costs ~1 min of CPU XLA compile
+        # (maxpooling itself is covered in test_refine_warp.py)
         opt = default_options(
             "train", model="refine", dataset_mode="llff_refine",
             patch_len=32, batch_size=2, num_ref_patches=2,
-            refine_network="maxpoolingmodel", refine_as_gan=True,
+            refine_network="unetgenerator", ngf=8, num_downs=3,
+            refine_as_gan=True,
             refine_with_l1=True, n_epochs=1, n_epochs_decay=0)
         system = create_model(opt)
         state = system.create_state(jax.random.PRNGKey(0),

@@ -238,9 +238,14 @@ class TestTrainRefineEngine:
         from nerfsr_tpu import engine
 
         d, scene_dir, syn = scene
+        # tiny U-Net: this test exercises the ENGINE loop (validate_iter,
+        # epoch validate, resume) — network-agnostic; the VNPCAT
+        # maxpooling net costs minutes of CPU XLA compile and is covered
+        # by TestRefineNetworks/TestRefineSystem/test_gan.py instead.
         kw = dict(dataset_root=scene_dir, syn_dataroot=syn,
                   img_wh=(96, 96), patch_len=32, aug_num=3,
-                  refine_network="maxpoolingmodel", n_epochs=2,
+                  refine_network="unetgenerator", ngf=8, num_downs=3,
+                  n_epochs=2,
                   steps_per_epoch=3, val_freq=2, vis_freq=2,
                   val_epoch_freq=2, save_epoch_freq=1, print_freq=1,
                   checkpoints_dir=str(d / "ckpts"),
