@@ -111,7 +111,11 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
 
     # ---- nerf model options (models/nerf_model.py:42-72) ----
     p.add_argument("--mlp_network", type=str, default="vanilla_mlp")
-    p.add_argument("--embedding", type=str, default="positional_encoding")
+    p.add_argument("--embedding", type=str, default="positional_encoding",
+                   choices=["positional_encoding"],
+                   help="embedding registry name (the reference ships "
+                        "only PositionalEncoding, models/embedding.py:14"
+                        "-63, so other values are rejected loudly)")
     p.add_argument("--N_coarse", type=int, default=64)
     p.add_argument("--N_importance", type=int, default=64)
     p.add_argument("--lindisp", action="store_true")

@@ -56,7 +56,10 @@ class RefineSystem:
                 norm=getattr(opt, "norm", "batch"),
                 learn_residual=opt.learn_residual)
         elif opt.refine_network == "maxpoolingmodel":
-            self.net = MaxPoolingModel(use_ref=True)
+            # --not_use_ref selects the _NoPooling decoder (reference
+            # Model_VNPCAT_Decoder_NoPooling, models/networks.py:786-945)
+            self.net = MaxPoolingModel(
+                use_ref=not getattr(opt, "not_use_ref", False))
         else:
             raise KeyError(f"unknown refine network {opt.refine_network}")
         self.is_unet = opt.refine_network == "unetgenerator"

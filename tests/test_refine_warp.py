@@ -156,6 +156,31 @@ class TestRefineSystem:
                             batch["ref_patches"])
         assert pred.shape == (2, 64, 64, 3)
 
+    def test_not_use_ref_selects_nopooling_decoder(self):
+        """--not_use_ref -> MaxPoolingModel(use_ref=False): the
+        _NoPooling decoder ignores the reference patches entirely
+        (reference Model_VNPCAT_Decoder_NoPooling,
+        models/networks.py:786-945)."""
+        from nerfsr_tpu.models import create_model
+
+        opt = refine_opt(refine_network="maxpoolingmodel",
+                         not_use_ref=True)
+        sys_ = create_model(opt)
+        assert sys_.net.use_ref is False
+        state = sys_.create_state(jax.random.PRNGKey(0), steps_per_epoch=10)
+        r = np.random.RandomState(2)
+        batch = self._batch(r)
+        pred1 = sys_.predict(state, batch["sr_patch"],
+                             batch["ref_patches"])
+        # permuting/perturbing refs must not change the output
+        other = jnp.asarray(
+            r.rand(*np.asarray(batch["ref_patches"]).shape)
+            .astype(np.float32) * 2 - 1)
+        pred2 = sys_.predict(state, batch["sr_patch"], other)
+        assert pred1.shape == (2, 64, 64, 3)
+        np.testing.assert_allclose(np.asarray(pred1), np.asarray(pred2),
+                                   atol=1e-6)
+
 
 class TestRefineDataset:
     @pytest.fixture(scope="class")
