@@ -32,6 +32,17 @@ def _timed_scan(system, state, buffer, n_steps, key):
     return state
 
 
+def _enable_compile_cache():
+    import os
+
+    import jax
+
+    cache = os.path.expanduser("~/.cache/nerfsr_tpu/xla")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _bench_system(opt, buffer, n_steps=50):
     import jax
 
@@ -91,6 +102,7 @@ def _bench_eval(opt, n_lr, ds2):
 def main():
     from nerfsr_tpu.config import default_options
 
+    _enable_compile_cache()
     ds = 2
     batch_lr = 512
     n_hr_rays = batch_lr * ds * ds

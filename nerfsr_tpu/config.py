@@ -241,6 +241,12 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
     p.add_argument("--not_use_ref", action="store_true")
 
     # ---- TPU-native additions ----
+    p.add_argument("--compilation_cache_dir", type=str,
+                   default=os.path.expanduser("~/.cache/nerfsr_tpu/xla"),
+                   help="persistent XLA compilation cache: the full "
+                        "train-step compile (minutes on small hosts) is "
+                        "paid once per (program, config), not once per "
+                        "process. '' disables.")
     p.add_argument("--precision", type=str, default="mixed",
                    choices=["f32", "bf16", "mixed"],
                    help="mixed: bf16 MLP trunk, f32 heads/composite")

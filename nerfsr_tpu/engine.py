@@ -39,6 +39,16 @@ def setup(opt):
     """Seed + mesh + system (replaces ``utils/distributed.py:5-25`` — no
     process groups; XLA owns the collectives)."""
     np.random.seed(opt.seed)
+    cache_dir = getattr(opt, "compilation_cache_dir", "")
+    if cache_dir:
+        # persistent XLA compilation cache: the multi-minute train-step
+        # compile is keyed by (program, flags, platform) and reused
+        # across processes — resume/test/refine runs start in seconds.
+        import os
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
     if getattr(opt, "coordinator", None) or \
             getattr(opt, "num_processes", 0):
         proc_id = getattr(opt, "process_id", -1)

@@ -19,3 +19,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent XLA compilation cache: the suite is compile-dominated on
+# this 1-core host; repeat runs reuse every compiled step/render program.
+_cache = os.path.expanduser("~/.cache/nerfsr_tpu/xla-tests")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

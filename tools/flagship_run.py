@@ -34,6 +34,11 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    cache = os.path.expanduser("~/.cache/nerfsr_tpu/xla")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from nerfsr_tpu.config import default_options
     from nerfsr_tpu.data import create_dataset
     from nerfsr_tpu.engine import validate
