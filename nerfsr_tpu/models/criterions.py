@@ -2,9 +2,8 @@
 
 Functional parity with ``models/criterions.py`` of cwchenwang/NeRF-SR
 (ColorMSELoss, L1Loss, PSNR, TVLoss, GradientLoss, LaplacianLoss,
-BilateralLaplacianLoss, VGGPerceptualLoss, SSIM), written as pure JAX
-functions. The reference's ``GradLoss`` (:38-54) is intentionally omitted:
-it is buggy (kernel_y duplicates kernel_x) and unused.
+BilateralLaplacianLoss, VGGPerceptualLoss, SSIM, GradLoss), written as
+pure JAX functions.
 
 Image layout convention is NHWC throughout (TPU-native), vs the
 reference's NCHW.
@@ -75,6 +74,35 @@ def gradient_loss(pred, target):
     pdy, pdx = image_gradients(pred)
     tdy, tdx = image_gradients(target)
     return (jnp.mean(jnp.abs(pdx - tdx)) + jnp.mean(jnp.abs(pdy - tdy))) / 2
+
+
+def grad_loss(pred, target):
+    """Sobel-gradient magnitude loss over (N, H, W, C) images.
+
+    Parity: GradLoss (``models/criterions.py:38-54``) — unused by any
+    reference script, carried for zoo completeness FAITHFULLY, i.e.
+    including the reference's quirks: ``kernel_y`` duplicates the
+    x-Sobel kernel (:44), the target term applies ``weight_x`` twice
+    (:53), and the reduction is ``mean(diff) ** 2`` (squared-mean, not
+    mean-square). The conv kernel is the reference's single output
+    channel summing the Sobel response over all input channels
+    (``repeat(C,1,1).unsqueeze(0)``), VALID padding.
+    """
+    sobel_x = jnp.array([[-1.0, 0.0, 1.0],
+                         [-2.0, 0.0, 2.0],
+                         [-1.0, 0.0, 1.0]], jnp.float32)
+    c = pred.shape[-1]
+    k = jnp.broadcast_to(sobel_x[:, :, None, None], (3, 3, c, 1))
+
+    def conv(img, kern):
+        return jax.lax.conv_general_dilated(
+            img, kern, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    kernel_y = k  # reference bug: kernel_y == kernel_x
+    grad_inputs = conv(pred, k) ** 2 + conv(pred, kernel_y) ** 2
+    grad_targets = conv(target, k) ** 2 + conv(target, k) ** 2
+    return jnp.mean(grad_inputs - grad_targets) ** 2
 
 
 def _second_differences(d):

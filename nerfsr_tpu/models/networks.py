@@ -19,9 +19,8 @@ All tensors NHWC (TPU layout); the reference is NCHW.
 
 from __future__ import annotations
 
-
-
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 xavier = nn.initializers.xavier_normal()
@@ -147,6 +146,50 @@ class ResnetGenerator(nn.Module):
         h = nn.Conv(self.output_nc, (7, 7), padding=0,
                     kernel_init=xavier)(h)
         return nn.tanh(h)
+
+
+class ConvBlock(nn.Module):
+    """Conv -> optional BatchNorm -> ReLU (reference ``Conv2d`` helper,
+    ``models/networks.py:694-710``; unused by any shipped script, carried
+    for zoo completeness)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: int = 0
+    normalization: str | None = None  # None | 'batch'
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features,
+                    (self.kernel_size, self.kernel_size),
+                    strides=(self.strides, self.strides),
+                    padding=self.padding, kernel_init=xavier)(x)
+        if self.normalization == "batch":
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9)(x)
+        return nn.relu(x)
+
+
+class Up2x(nn.Module):
+    """Bilinear 2x upsample -> reflect pad -> 3x3 conv -> optional
+    BatchNorm -> ReLU (reference ``Up2x``, ``models/networks.py:713-733``;
+    unused by any shipped script, carried for zoo completeness)."""
+
+    features: int
+    normalization: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        x = jax.image.resize(x, (n, 2 * h, 2 * w, c), "bilinear")
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        x = nn.Conv(self.features, (3, 3), padding=0,
+                    kernel_init=xavier)(x)
+        if self.normalization == "batch":
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9)(x)
+        return nn.relu(x)
 
 
 class VNPCATEncoder(nn.Module):
