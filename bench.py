@@ -82,19 +82,27 @@ def _grouped_buffer(n_lr, ds2, seed=0):
 
 def _bench_eval(opt, n_lr, ds2):
     """Eval render throughput: one flagship-sized image (n_lr * ds^2 HR
-    rays) through render_image (single on-device lax.map dispatch)."""
+    rays) through the production eval path ``render_pose`` — rays are
+    generated ON DEVICE from (direction grid, 3x4 pose); the direction
+    grid is uploaded once per dataset, so steady-state per-image host
+    traffic is just the pose + the rendered outputs. (The old
+    ray-upload path cost an extra 520 ms/image through the tunnel.)"""
     import jax
+    import numpy as np
 
     from nerfsr_tpu.models import create_model
 
     system = create_model(opt)
     state = system.create_state(jax.random.PRNGKey(0),
                                 steps_per_epoch=2000)
-    rays = {k: v for k, v in _grouped_buffer(n_lr, ds2, seed=1).items()
-            if k in ("origins", "directions", "viewdirs", "near", "far")}
-    out = system.render_image(state.params, rays)  # compile
+    rng = np.random.RandomState(1)
+    dirs = rng.randn(n_lr * ds2, 3).astype(np.float32)
+    dirs[:, 2] = -np.abs(dirs[:, 2]) - 0.5  # camera looks down -z
+    spec = {"c2w": np.eye(3, 4, dtype=np.float32),
+            "geom": ("world", 0.0, 1.0)}
+    out = system.render_pose(state.params, spec, dirs)  # compile+upload
     t0 = time.perf_counter()
-    out = system.render_image(state.params, rays)
+    out = system.render_pose(state.params, spec, dirs)
     assert float(out["fine_rgb"].sum()) == float(out["fine_rgb"].sum())
     return time.perf_counter() - t0
 

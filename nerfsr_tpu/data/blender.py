@@ -123,6 +123,20 @@ class BlenderDataset:
         }
 
     # -- evaluation --------------------------------------------------------
+    def eval_raygen_spec(self, idx):
+        """Pose + static geometry for device-side eval raygen (see
+        ``NeRFSystem.render_pose``)."""
+        c2w = np.array(self.frames[idx]["transform_matrix"],
+                       np.float32)[:3, :4]
+        return {"c2w": c2w,
+                "geom": ("world", float(self.near), float(self.far))}
+
+    def eval_dirs(self):
+        if getattr(self, "_eval_dirs", None) is None:
+            self._eval_dirs = np.ascontiguousarray(
+                self.directions.reshape(-1, 3).astype(np.float32))
+        return self._eval_dirs
+
     def image_rays(self, idx):
         """Rays + gt + mask for one eval image."""
         frame = self.frames[idx]

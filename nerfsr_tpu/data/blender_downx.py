@@ -131,6 +131,24 @@ class BlenderDownXDataset:
                 group_subpixels(hr, self.ds).astype(np.float32))
         return {k: np.concatenate(v) for k, v in parts.items()}
 
+    def eval_raygen_spec(self, idx):
+        """Pose + static geometry for device-side eval raygen (see
+        ``NeRFSystem.render_pose``)."""
+        c2w = np.array(self.frames[idx]["transform_matrix"],
+                       np.float32)[:3, :4]
+        return {"c2w": c2w,
+                "geom": ("world", float(self.near), float(self.far))}
+
+    def eval_dirs(self):
+        """Direction grid in GROUPED flatten order (see the llff_downx
+        twin)."""
+        if getattr(self, "_eval_dirs", None) is None:
+            grouped = group_subpixels(
+                self.directions.astype(np.float32), self.ds)
+            self._eval_dirs = np.ascontiguousarray(
+                grouped.reshape(-1, 3))
+        return self._eval_dirs
+
     def image_rays(self, idx):
         """Grouped eval rays for one image + LR/HR ground truth."""
         frame = self.frames[idx]

@@ -320,6 +320,39 @@ class LLFFDataset:
         return {k: v.reshape(n_img, h, w, v.shape[-1])
                 for k, v in flat.items()}
 
+    def eval_raygen_spec(self, idx):
+        """Pose + static geometry for device-side eval raygen (rays are
+        generated on-chip by ``NeRFSystem.render_pose``; only this 3x4
+        pose pair crosses the host->device link per image). Pose
+        selection mirrors ``image_rays``; geometry mirrors
+        ``_pose_rays``."""
+        if self.mode == "val":
+            c2w = self.poses[self.val_idx]
+        elif self.mode == "test_train":
+            c2w = self.poses[idx]
+        else:
+            c2w = self._poses_test[idx]
+        vd_c2w = c2w
+        if self.mode == "test_viewdir":
+            # fixed render pose, per-idx view dirs (parity: :412-415)
+            c2w = self._poses_test[10]
+        near, far = self._near_far()
+        w, h = self.img_wh
+        if self.spheric:
+            geom = ("world", float(near), float(far))
+        else:
+            geom = ("ndc", h, w, float(self.focal), float(near),
+                    float(far))
+        return {"c2w": c2w, "vd_c2w": vd_c2w, "geom": geom}
+
+    def eval_dirs(self):
+        """Flat camera-space direction grid in eval ray order (cached —
+        the system uploads it to the device once per dataset)."""
+        if getattr(self, "_eval_dirs", None) is None:
+            self._eval_dirs = np.ascontiguousarray(
+                self.directions.reshape(-1, 3).astype(np.float32))
+        return self._eval_dirs
+
     def image_rays(self, idx):
         if self.mode == "val":
             pose_idx = self.val_idx

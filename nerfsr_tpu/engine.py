@@ -237,7 +237,7 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
             if (val_ds is not None and opt.val_freq > 0
                     and global_step % opt.val_freq < k and is_master()):
                 sample = val_ds.image_rays(0)
-                out = system.render_image(state.params, sample)
+                out = system.render_eval(state.params, val_ds, 0, sample)
                 m = system.eval_metrics(out, sample)
                 writer.add_scalars(m, global_step, prefix="val_iter/")
                 # visuals dumped at the coarser --vis_freq cadence
@@ -313,7 +313,7 @@ def validate(opt, system, params, dataset, out_dir=None, max_images=None):
     visuals = []
     for i in range(n):
         sample = dataset.image_rays(i)
-        out = system.render_image(params, sample)
+        out = system.render_eval(params, dataset, i, sample)
         metrics.append(system.eval_metrics(out, sample))
         if out_dir is not None:
             visuals.extend(system.eval_visuals(
@@ -487,7 +487,7 @@ def test(opt):
     gif_frames = {}
     for i in range(len(dataset)):
         sample = dataset.image_rays(i)
-        out = system.render_image(state.params, sample)
+        out = system.render_eval(state.params, dataset, i, sample)
         with_gt = sample.get("rgbs") is not None
         for v in system.eval_visuals(out, sample, i, with_gt=with_gt,
                                      depth_bounds=dataset.depth_bounds):

@@ -281,18 +281,36 @@ class NeRFDownXSystem(NeRFSystem):
         ungrouped to (H, W) scan order via ``unflatten_reshape`` parity
         (reference :410-416) — flattened to (H*W, ...) rows.
         """
-        ds2 = self.ds2
         flat = {k: np.asarray(v).reshape((-1,) + np.asarray(v).shape[2:])
                 for k, v in rays_np.items()
                 if k in ("origins", "directions", "viewdirs", "near", "far")}
         out = super().render_image(params, flat, chunk)
+        return self._post_grouped(out)
+
+    def _post_grouped(self, out):
+        """Flat grouped-order render rows -> LR (subpixel mean) + HR
+        ``*_ori`` (ungrouped to scan order) fields."""
+        ds2 = self.ds2
         result = {}
-        n_lr = flat["origins"].shape[0] // ds2
+        n_lr = next(iter(out.values())).shape[0] // ds2
         for k, v in out.items():
             grouped = v.reshape((n_lr, ds2) + v.shape[1:])
             result[k] = grouped.mean(axis=1)
             result[k + "_ori"] = self._ungroup(grouped)
         return result
+
+    def render_eval(self, params, dataset, idx, sample=None):
+        """Device-raygen eval for grouped (downX) datasets: their
+        ``eval_dirs`` are pre-permuted to the grouped flatten order, so
+        the flat render rows regroup exactly like ``render_image``'s."""
+        spec_fn = getattr(dataset, "eval_raygen_spec", None)
+        if spec_fn is None:
+            if sample is None:
+                sample = dataset.image_rays(idx)
+            return self.render_image(params, sample)
+        flat_out = self.render_pose(params, spec_fn(idx),
+                                    dataset.eval_dirs())
+        return self._post_grouped(flat_out)
 
     def eval_metrics(self, out, sample):
         from nerfsr_tpu.models.criterions import ssim as ssim_fn

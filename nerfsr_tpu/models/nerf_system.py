@@ -573,6 +573,97 @@ class NeRFSystem:
         out = jax.lax.map(render_chunk, stacked)
         return {k: v.reshape((n,) + v.shape[2:]) for k, v in out.items()}
 
+    _EVAL_KEEP = ("coarse_rgb", "coarse_depth", "coarse_opacity",
+                  "fine_rgb", "fine_depth", "fine_opacity")
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5))
+    def eval_image_device_pose(self, params, dirs_stacked, c2w_pair,
+                               geom, chunk: int):
+        """Render a whole eval image ON DEVICE from camera geometry alone.
+
+        TPU-native eval raygen: the per-pixel camera-space direction grid
+        is device-resident (uploaded once per dataset); per image only a
+        (2, 3, 4) pose pair crosses the host->device link. Measured on
+        the tunneled v5e: uploading one 504x378 image's 190K-ray bundle
+        costs 520 ms against 284 ms of render compute — generating rays
+        from the pose on-chip removes that upload entirely (SURVEY.md §7
+        'Data pipeline memory': rays are a cheap function of camera
+        params; the reference instead materializes every eval ray on the
+        host, ``data/llff_dataset.py:324-335``).
+
+        Args:
+          dirs_stacked: (n_chunks, chunk, 3) camera-space directions.
+          c2w_pair: (2, 3, 4) — row 0 generates origins/directions,
+            row 1 the viewdirs (rows differ only for LLFF test_viewdir,
+            reference ``data/llff_dataset.py:412-415``).
+          geom: static tuple, ("ndc", h, w, focal, near, far) or
+            ("world", near, far).
+        """
+        from nerfsr_tpu.core.rays import get_rays, make_rays, ndc_rays
+
+        def render_chunk(d):
+            ro, rd = get_rays(d, c2w_pair[0])
+            vo, vd = get_rays(d, c2w_pair[1])
+            if geom[0] == "ndc":
+                _, h, w, focal, near, far = geom
+                _, vd = ndc_rays(h, w, focal, 1.0, vo, vd)
+                ro, rd = ndc_rays(h, w, focal, 1.0, ro, rd)
+            else:
+                _, near, far = geom
+            rays = make_rays(ro, rd, near, far, vd)
+            out = self.render(params, rays, jax.random.PRNGKey(0),
+                              randomized=False)
+            return {k: out[k] for k in self._EVAL_KEEP if k in out}
+
+        out = jax.lax.map(render_chunk, dirs_stacked)
+        n = dirs_stacked.shape[0] * dirs_stacked.shape[1]
+        return {k: v.reshape((n,) + v.shape[2:]) for k, v in out.items()}
+
+    def render_pose(self, params, spec: Dict[str, Any], dirs_flat,
+                    chunk: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Host wrapper for ``eval_image_device_pose``: pads/uploads the
+        direction grid once per dataset (cached), ships only the pose per
+        image. ``spec`` comes from ``dataset.eval_raygen_spec(idx)``."""
+        if chunk is None:
+            chunk = max(4096, self.opt.ray_chunk)
+            if jax.default_backend() != "cpu":
+                chunk = max(chunk, 32768)
+        dirs_flat = np.asarray(dirs_flat, np.float32)
+        n = dirs_flat.shape[0]
+        if not hasattr(self, "_eval_dirs_cache"):
+            self._eval_dirs_cache = {}
+        key = (id(dirs_flat), n, chunk)
+        dev = self._eval_dirs_cache.get(key)
+        if dev is None:
+            pad = (-n) % chunk
+            padded = np.concatenate(
+                [dirs_flat, np.repeat(dirs_flat[-1:], pad, axis=0)]) \
+                if pad else dirs_flat
+            dev = jnp.asarray(
+                padded.reshape(-1, chunk, 3))
+            self._eval_dirs_cache[key] = dev
+        c2w = np.asarray(spec["c2w"], np.float32)
+        vd_c2w = np.asarray(spec.get("vd_c2w", spec["c2w"]), np.float32)
+        out = self.eval_image_device_pose(
+            params, dev, jnp.asarray(np.stack([c2w, vd_c2w])),
+            spec["geom"], chunk)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        return {k: v[:n] for k, v in out.items()}
+
+    def render_eval(self, params, dataset, idx: int,
+                    sample=None) -> Dict[str, np.ndarray]:
+        """Eval render of dataset view ``idx``: device raygen when the
+        dataset provides ``eval_raygen_spec``/``eval_dirs`` (only a pose
+        crosses the link), else fall back to uploading the precomputed
+        ray bundle."""
+        spec_fn = getattr(dataset, "eval_raygen_spec", None)
+        if spec_fn is not None:
+            return self.render_pose(params, spec_fn(idx),
+                                    dataset.eval_dirs())
+        if sample is None:
+            sample = dataset.image_rays(idx)
+        return self.render_image(params, sample)
+
     # ------------------------------------------------------------------
     # eval metrics / visuals (consumed by the engine loops)
     # ------------------------------------------------------------------
