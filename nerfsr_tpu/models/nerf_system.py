@@ -542,10 +542,7 @@ class NeRFSystem:
         rays = self._batch_to_rays(batch)
         out = self.render(params, rays, jax.random.PRNGKey(0),
                           randomized=False)
-        keep = [k for k in ("coarse_rgb", "coarse_depth",
-                            "coarse_opacity", "fine_rgb", "fine_depth",
-                            "fine_opacity") if k in out]
-        return {k: out[k] for k in keep}
+        return {k: out[k] for k in self._EVAL_KEEP if k in out}
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def eval_image_device(self, params, rays, chunk: int):
@@ -565,16 +562,16 @@ class NeRFSystem:
             r = self._batch_to_rays(sl)
             out = self.render(params, r, jax.random.PRNGKey(0),
                               randomized=False)
-            keep = [k for k in ("coarse_rgb", "coarse_depth",
-                                "coarse_opacity", "fine_rgb",
-                                "fine_depth", "fine_opacity") if k in out]
-            return {k: out[k] for k in keep}
+            return {k: out[k] for k in self._EVAL_KEEP if k in out}
 
         out = jax.lax.map(render_chunk, stacked)
         return {k: v.reshape((n,) + v.shape[2:]) for k, v in out.items()}
 
-    _EVAL_KEEP = ("coarse_rgb", "coarse_depth", "coarse_opacity",
-                  "fine_rgb", "fine_depth", "fine_opacity")
+    # eval outputs shipped back to the host. Opacity is deliberately NOT
+    # read back: no eval consumer (metrics/visuals/warp/refine) uses it,
+    # and on the tunneled link it is pure readback cost (~20% of the
+    # per-image transfer).
+    _EVAL_KEEP = ("coarse_rgb", "coarse_depth", "fine_rgb", "fine_depth")
 
     @functools.partial(jax.jit, static_argnums=(0, 4, 5))
     def eval_image_device_pose(self, params, dirs_stacked, c2w_pair,
