@@ -597,8 +597,14 @@ class NeRFSystem:
             ("world", near, far).
         """
         from nerfsr_tpu.core.rays import get_rays, make_rays, ndc_rays
+        from nerfsr_tpu.parallel.mesh import shard_batch
 
         def render_chunk(d):
+            # multi-chip eval: rays of each chunk row-shard over the data
+            # mesh (set via .use_mesh BEFORE the first render, same
+            # convention as the train step) — every chip renders its
+            # slice, no collectives needed.
+            d = shard_batch(d, self.mesh)
             ro, rd = get_rays(d, c2w_pair[0])
             vo, vd = get_rays(d, c2w_pair[1])
             if geom[0] == "ndc":
@@ -636,8 +642,15 @@ class NeRFSystem:
             padded = np.concatenate(
                 [dirs_flat, np.repeat(dirs_flat[-1:], pad, axis=0)]) \
                 if pad else dirs_flat
-            dev = jnp.asarray(
-                padded.reshape(-1, chunk, 3))
+            stacked = padded.reshape(-1, chunk, 3)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                from nerfsr_tpu.parallel.mesh import DATA_AXIS
+                dev = jax.device_put(
+                    stacked, NamedSharding(self.mesh,
+                                           PartitionSpec(None, DATA_AXIS)))
+            else:
+                dev = jnp.asarray(stacked)
             self._eval_dirs_cache[key] = dev
         c2w = np.asarray(spec["c2w"], np.float32)
         vd_c2w = np.asarray(spec.get("vd_c2w", spec["c2w"]), np.float32)

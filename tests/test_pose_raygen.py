@@ -106,6 +106,32 @@ class TestLLFF:
         _assert_paths_match(create_model(opt), ds, 2)
 
 
+class TestMeshEval:
+    def test_sharded_pose_render_matches_single(self, llff_scene):
+        """8-virtual-device mesh eval: each chunk's rays row-shard over
+        the data mesh; result must match the unsharded render."""
+        from nerfsr_tpu.parallel.mesh import make_mesh, replicate
+
+        opt = default_options(
+            "train", model="nerf", dataset_mode="llff",
+            dataset_root=llff_scene, img_wh=(24, 24), batch_size=32,
+            **_TINY)
+        ds = create_dataset(opt, "val")
+        single = create_model(opt)
+        params = single.init_params(jax.random.PRNGKey(0))
+        want = single.render_pose(params, ds.eval_raygen_spec(0),
+                                  ds.eval_dirs(), chunk=64)
+
+        mesh = make_mesh(8)
+        sharded_sys = create_model(opt).use_mesh(mesh)
+        params_r = replicate(params, mesh)
+        got = sharded_sys.render_pose(params_r, ds.eval_raygen_spec(0),
+                                      ds.eval_dirs(), chunk=64)
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-5,
+                                       atol=1e-6, err_msg=k)
+
+
 class TestDownX:
     def test_llff_downx_grouped(self, llff_scene):
         opt = default_options(
