@@ -157,6 +157,14 @@ class TestDownX:
         ds = create_dataset(opt, "val")
         _assert_paths_match(create_model(opt), ds, 0)
 
+    def test_llff_downx_spiral_test_split(self, llff_scene):
+        opt = default_options(
+            "test", model="nerf_downX", dataset_mode="llff_downX",
+            dataset_root=llff_scene, img_wh=(24, 24), batch_size=16,
+            downscale=2, **_TINY)
+        ds = create_dataset(opt, "test")
+        _assert_paths_match(create_model(opt), ds, 5)
+
     def test_fast_sampling_pose_path(self, llff_scene):
         opt = default_options(
             "train", model="nerf_downX", dataset_mode="llff_downX",
