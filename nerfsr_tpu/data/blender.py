@@ -40,6 +40,29 @@ def rays_from_pose(directions, c2w):
     return rays_o.astype(np.float32), rays_d.astype(np.float32)
 
 
+def blender_eval_raygen_spec(ds_obj, idx):
+    """Shared blender-family pose + geometry for device-side eval raygen
+    (constant near/far, no NDC)."""
+    c2w = np.array(ds_obj.frames[idx]["transform_matrix"],
+                   np.float32)[:3, :4]
+    return {"c2w": c2w,
+            "geom": ("world", float(ds_obj.near), float(ds_obj.far))}
+
+
+def cached_eval_dirs(ds_obj, group_ds: int = 0):
+    """Flat camera-space direction grid in the dataset's eval ray order
+    (raster, or subpixel-grouped when ``group_ds`` > 1), cached on the
+    dataset — ``NeRFSystem.render_pose`` uploads it to the device once.
+    Shared by all dataset families (device-raygen eval)."""
+    if getattr(ds_obj, "_eval_dirs", None) is None:
+        d = ds_obj.directions.astype(np.float32)
+        if group_ds > 1:
+            from nerfsr_tpu.data.downx_common import group_subpixels
+            d = group_subpixels(d, group_ds)
+        ds_obj._eval_dirs = np.ascontiguousarray(d.reshape(-1, 3))
+    return ds_obj._eval_dirs
+
+
 def load_image(path, wh, keep_alpha=False):
     from PIL import Image
 
@@ -126,16 +149,10 @@ class BlenderDataset:
     def eval_raygen_spec(self, idx):
         """Pose + static geometry for device-side eval raygen (see
         ``NeRFSystem.render_pose``)."""
-        c2w = np.array(self.frames[idx]["transform_matrix"],
-                       np.float32)[:3, :4]
-        return {"c2w": c2w,
-                "geom": ("world", float(self.near), float(self.far))}
+        return blender_eval_raygen_spec(self, idx)
 
     def eval_dirs(self):
-        if getattr(self, "_eval_dirs", None) is None:
-            self._eval_dirs = np.ascontiguousarray(
-                self.directions.reshape(-1, 3).astype(np.float32))
-        return self._eval_dirs
+        return cached_eval_dirs(self)
 
     def image_rays(self, idx):
         """Rays + gt + mask for one eval image."""

@@ -134,20 +134,13 @@ class BlenderDownXDataset:
     def eval_raygen_spec(self, idx):
         """Pose + static geometry for device-side eval raygen (see
         ``NeRFSystem.render_pose``)."""
-        c2w = np.array(self.frames[idx]["transform_matrix"],
-                       np.float32)[:3, :4]
-        return {"c2w": c2w,
-                "geom": ("world", float(self.near), float(self.far))}
+        from nerfsr_tpu.data.blender import blender_eval_raygen_spec
+        return blender_eval_raygen_spec(self, idx)
 
     def eval_dirs(self):
-        """Direction grid in GROUPED flatten order (see the llff_downx
-        twin)."""
-        if getattr(self, "_eval_dirs", None) is None:
-            grouped = group_subpixels(
-                self.directions.astype(np.float32), self.ds)
-            self._eval_dirs = np.ascontiguousarray(
-                grouped.reshape(-1, 3))
-        return self._eval_dirs
+        """Direction grid in GROUPED flatten order."""
+        from nerfsr_tpu.data.blender import cached_eval_dirs
+        return cached_eval_dirs(self, self.ds)
 
     def image_rays(self, idx):
         """Grouped eval rays for one image + LR/HR ground truth."""

@@ -111,6 +111,32 @@ def ndc_rays_np(h, w, focal, near, rays_o, rays_d):
             np.stack([d0, d1, d2], -1).astype(np.float32))
 
 
+def llff_eval_raygen_spec(ds_obj, idx, with_viewdir_split=False):
+    """Shared LLFF pose-selection + static geometry for device-side eval
+    raygen (used by LLFFDataset and LLFFDownXDataset; mirrors their
+    ``image_rays`` pose selection and ``_pose_rays*`` geometry so the
+    pose path and the host-ray path stay in lockstep)."""
+    if ds_obj.mode == "val":
+        c2w = ds_obj.poses[ds_obj.val_idx]
+    elif ds_obj.mode == "test_train":
+        c2w = ds_obj.poses[idx]
+    else:
+        c2w = ds_obj._poses_test[idx]
+    vd_c2w = c2w
+    if with_viewdir_split and ds_obj.mode == "test_viewdir":
+        # fixed render pose, per-idx view dirs (parity: reference
+        # data/llff_dataset.py:412-415)
+        c2w = ds_obj._poses_test[10]
+    near, far = ds_obj._near_far()
+    w, h = ds_obj.img_wh
+    if ds_obj.spheric:
+        geom = ("world", float(near), float(far))
+    else:
+        geom = ("ndc", h, w, float(ds_obj.focal), float(near),
+                float(far))
+    return {"c2w": c2w, "vd_c2w": vd_c2w, "geom": geom}
+
+
 def load_colmap_scene(root_dir, img_wh):
     """COLMAP sparse model -> (poses (N,3,4), bounds (N,2), focal,
     image_paths), fully processed (axis flip, centering, rescale).
@@ -323,35 +349,12 @@ class LLFFDataset:
     def eval_raygen_spec(self, idx):
         """Pose + static geometry for device-side eval raygen (rays are
         generated on-chip by ``NeRFSystem.render_pose``; only this 3x4
-        pose pair crosses the host->device link per image). Pose
-        selection mirrors ``image_rays``; geometry mirrors
-        ``_pose_rays``."""
-        if self.mode == "val":
-            c2w = self.poses[self.val_idx]
-        elif self.mode == "test_train":
-            c2w = self.poses[idx]
-        else:
-            c2w = self._poses_test[idx]
-        vd_c2w = c2w
-        if self.mode == "test_viewdir":
-            # fixed render pose, per-idx view dirs (parity: :412-415)
-            c2w = self._poses_test[10]
-        near, far = self._near_far()
-        w, h = self.img_wh
-        if self.spheric:
-            geom = ("world", float(near), float(far))
-        else:
-            geom = ("ndc", h, w, float(self.focal), float(near),
-                    float(far))
-        return {"c2w": c2w, "vd_c2w": vd_c2w, "geom": geom}
+        pose pair crosses the host->device link per image)."""
+        return llff_eval_raygen_spec(self, idx, with_viewdir_split=True)
 
     def eval_dirs(self):
-        """Flat camera-space direction grid in eval ray order (cached —
-        the system uploads it to the device once per dataset)."""
-        if getattr(self, "_eval_dirs", None) is None:
-            self._eval_dirs = np.ascontiguousarray(
-                self.directions.reshape(-1, 3).astype(np.float32))
-        return self._eval_dirs
+        from nerfsr_tpu.data.blender import cached_eval_dirs
+        return cached_eval_dirs(self)
 
     def image_rays(self, idx):
         if self.mode == "val":

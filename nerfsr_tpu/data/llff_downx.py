@@ -227,33 +227,16 @@ class LLFFDownXDataset:
 
     def eval_raygen_spec(self, idx):
         """Pose + static geometry for device-side eval raygen (see
-        ``NeRFSystem.render_pose``); mirrors ``image_rays`` pose
-        selection and ``_pose_rays_grouped`` geometry."""
-        if self.mode == "val":
-            c2w = self.poses[self.val_idx]
-        elif self.mode == "test_train":
-            c2w = self.poses[idx]
-        else:
-            c2w = self._poses_test[idx]
-        near, far = self._near_far()
-        w, h = self.img_wh
-        if self.spheric:
-            geom = ("world", float(near), float(far))
-        else:
-            geom = ("ndc", h, w, float(self.focal), float(near),
-                    float(far))
-        return {"c2w": c2w, "geom": geom}
+        ``NeRFSystem.render_pose``)."""
+        from nerfsr_tpu.data.llff import llff_eval_raygen_spec
+        return llff_eval_raygen_spec(self, idx)
 
     def eval_dirs(self):
-        """Camera-space direction grid pre-permuted to the GROUPED
-        flatten order (each LR pixel's ds^2 sub-rays contiguous), so the
-        device-raygen render rows match ``image_rays``'s grouped rows."""
-        if getattr(self, "_eval_dirs", None) is None:
-            grouped = group_subpixels(
-                self.directions.astype(np.float32), self.ds)
-            self._eval_dirs = np.ascontiguousarray(
-                grouped.reshape(-1, 3))
-        return self._eval_dirs
+        """Direction grid pre-permuted to the GROUPED flatten order
+        (each LR pixel's ds^2 sub-rays contiguous), so device-raygen
+        render rows match ``image_rays``'s grouped rows."""
+        from nerfsr_tpu.data.blender import cached_eval_dirs
+        return cached_eval_dirs(self, self.ds)
 
     def image_rays(self, idx):
         if self.mode == "val":

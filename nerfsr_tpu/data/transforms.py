@@ -84,12 +84,18 @@ def make_power_2(img: np.ndarray, base: int = 4,
 
 
 def crop(img: np.ndarray, pos, size: int) -> np.ndarray:
-    """Parity: ``__crop`` (:124-130) — crops only when the image is
-    strictly larger than the target."""
+    """Parity: ``__crop`` (:124-130) — crops only when either image
+    dimension is strictly larger than the target. PIL's ``Image.crop``
+    zero-pads regions of the box outside the image, always returning a
+    ``size x size`` result; the numpy equivalent is an explicit
+    zero-filled canvas."""
     h, w = img.shape[:2]
     x, y = pos
     if w > size or h > size:
-        return img[y:y + size, x:x + size]
+        out = np.zeros((size, size) + img.shape[2:], img.dtype)
+        sub = img[y:y + size, x:x + size]
+        out[:sub.shape[0], :sub.shape[1]] = sub
+        return out
     return img
 
 

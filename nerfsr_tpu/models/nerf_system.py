@@ -567,6 +567,29 @@ class NeRFSystem:
         out = jax.lax.map(render_chunk, stacked)
         return {k: v.reshape((n,) + v.shape[2:]) for k, v in out.items()}
 
+    def _eval_chunk_size(self, n: int, override: Optional[int] = None):
+        """Pick the eval ray-chunk size.
+
+        Honors an explicit ``--ray_chunk``; bumps the untouched default
+        (4096) to 32768 on accelerators (fewer serial ``lax.map`` steps
+        + dispatches through the host link); shrinks to one 256-aligned
+        chunk when the image is smaller than the chunk (a 16x16 image
+        must not render 32768 padded rays); and rounds up to the mesh
+        device count so sharded eval divides evenly."""
+        if override is not None:
+            chunk = override
+        else:
+            chunk = max(4096, self.opt.ray_chunk)
+            if self.opt.ray_chunk <= 4096 and \
+                    jax.default_backend() != "cpu":
+                chunk = 32768
+            if chunk > n:
+                chunk = max(256, -(-n // 256) * 256)
+        if self.mesh is not None:
+            n_dev = int(np.prod(self.mesh.devices.shape))
+            chunk = -(-chunk // n_dev) * n_dev
+        return chunk
+
     # eval outputs shipped back to the host. Opacity is deliberately NOT
     # read back: no eval consumer (metrics/visuals/warp/refine) uses it,
     # and on the tunneled link it is pure readback cost (~20% of the
@@ -627,17 +650,20 @@ class NeRFSystem:
         """Host wrapper for ``eval_image_device_pose``: pads/uploads the
         direction grid once per dataset (cached), ships only the pose per
         image. ``spec`` comes from ``dataset.eval_raygen_spec(idx)``."""
-        if chunk is None:
-            chunk = max(4096, self.opt.ray_chunk)
-            if jax.default_backend() != "cpu":
-                chunk = max(chunk, 32768)
         dirs_flat = np.asarray(dirs_flat, np.float32)
         n = dirs_flat.shape[0]
+        chunk = self._eval_chunk_size(n, chunk)
         if not hasattr(self, "_eval_dirs_cache"):
             self._eval_dirs_cache = {}
-        key = (id(dirs_flat), n, chunk)
-        dev = self._eval_dirs_cache.get(key)
-        if dev is None:
+        # cache keyed by shape; the host array is retained in the value
+        # and compared by identity, so a recycled object address can
+        # never serve a stale grid and a recreated dataset REPLACES the
+        # entry (bounded HBM) instead of appending forever.
+        key = (n, chunk)
+        cached = self._eval_dirs_cache.get(key)
+        if cached is not None and cached[0] is dirs_flat:
+            dev = cached[1]
+        else:
             pad = (-n) % chunk
             padded = np.concatenate(
                 [dirs_flat, np.repeat(dirs_flat[-1:], pad, axis=0)]) \
@@ -651,7 +677,7 @@ class NeRFSystem:
                                            PartitionSpec(None, DATA_AXIS)))
             else:
                 dev = jnp.asarray(stacked)
-            self._eval_dirs_cache[key] = dev
+            self._eval_dirs_cache[key] = (dirs_flat, dev)
         c2w = np.asarray(spec["c2w"], np.float32)
         vd_c2w = np.asarray(spec.get("vd_c2w", spec["c2w"]), np.float32)
         out = self.eval_image_device_pose(
@@ -730,13 +756,8 @@ class NeRFSystem:
         Static shapes keep one compiled executable for every chunk
         (SURVEY.md §7 'Ragged eval vs static shapes').
         """
-        if chunk is None:
-            chunk = max(4096, self.opt.ray_chunk)
-            if jax.default_backend() != "cpu":
-                # TPU eval: fewer, larger chunks (a 32K-ray chunk at
-                # 192 samples is ~4.5M points — well within HBM)
-                chunk = max(chunk, 32768)
         n = rays_np["origins"].shape[0]
+        chunk = self._eval_chunk_size(n, chunk)
         fields = {k: np.asarray(v) for k, v in rays_np.items()
                   if k in ("origins", "directions", "viewdirs", "near",
                            "far")}

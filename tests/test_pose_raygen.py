@@ -106,6 +106,36 @@ class TestLLFF:
         _assert_paths_match(create_model(opt), ds, 2)
 
 
+class TestDirsCache:
+    def test_same_shape_different_grid_not_stale(self, blender_scene):
+        """Two datasets with identically-shaped but different direction
+        grids must not serve each other's cached device upload (the
+        cache compares the host array by identity, not address reuse)."""
+        opt_a = default_options(
+            "train", model="nerf", dataset_mode="blender",
+            dataset_root=blender_scene, img_wh=(16, 16), batch_size=32,
+            use_pixel_centers=True, **_TINY)
+        opt_b = default_options(
+            "train", model="nerf", dataset_mode="blender",
+            dataset_root=blender_scene, img_wh=(16, 16), batch_size=32,
+            use_pixel_centers=False, **_TINY)
+        ds_a = create_dataset(opt_a, "val")
+        ds_b = create_dataset(opt_b, "val")
+        system = create_model(opt_a)
+        params = system.init_params(jax.random.PRNGKey(0))
+        # prime the cache with A's grid, then render B at the same shape
+        system.render_pose(params, ds_a.eval_raygen_spec(0),
+                           ds_a.eval_dirs(), chunk=64)
+        got_b = system.render_pose(params, ds_b.eval_raygen_spec(0),
+                                   ds_b.eval_dirs(), chunk=64)
+        want_b = system.render_image(params, ds_b.image_rays(0),
+                                     chunk=64)
+        np.testing.assert_allclose(got_b["fine_rgb"], want_b["fine_rgb"],
+                                   rtol=1e-4, atol=2e-5)
+        # bounded: one entry per (n, chunk), replaced not appended
+        assert len(system._eval_dirs_cache) == 1
+
+
 class TestMeshEval:
     def test_sharded_pose_render_matches_single(self, llff_scene):
         """8-virtual-device mesh eval: each chunk's rays row-shard over

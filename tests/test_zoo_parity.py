@@ -164,6 +164,13 @@ class TestTransforms:
         # images not larger than the target pass through (reference :127)
         small = img[:4, :4]
         np.testing.assert_array_equal(T.crop(small, (1, 1), 4), small)
+        # PIL crop semantics: one oversized dimension still yields a
+        # size x size result, zero-padded outside the image
+        wide = img[:4]  # (4, 10, 3)
+        out = T.crop(wide, (0, 0), 8)
+        assert out.shape == (8, 8, 3)
+        np.testing.assert_array_equal(out[:4, :8], wide[:, :8])
+        assert (out[4:] == 0).all()
 
     def test_make_power_2_and_scale_width(self):
         from nerfsr_tpu.data import transforms as T
