@@ -579,10 +579,14 @@ class NeRFSystem:
         if override is not None:
             chunk = override
         else:
-            chunk = max(4096, self.opt.ray_chunk)
-            if self.opt.ray_chunk <= 4096 and \
-                    jax.default_backend() != "cpu":
+            if self.opt.ray_chunk != 4096:  # explicitly tuned
+                chunk = self.opt.ray_chunk
+            elif jax.default_backend() != "cpu":
+                # TPU default: fewer, larger chunks (32K rays x 192
+                # samples is ~4.5M points — well within HBM)
                 chunk = 32768
+            else:
+                chunk = 4096
             if chunk > n:
                 chunk = max(256, -(-n // 256) * 256)
         if self.mesh is not None:
