@@ -58,6 +58,12 @@ class UnetGenerator(nn.Module):
     def __call__(self, x, train: bool = False):
         ura = not train
         ngf = self.ngf
+        if min(x.shape[1], x.shape[2]) < 2 ** self.num_downs:
+            raise ValueError(
+                f"UnetGenerator with num_downs={self.num_downs} needs "
+                f">= {2 ** self.num_downs}px patches, got "
+                f"{x.shape[1]}x{x.shape[2]}; lower --num_downs or raise "
+                f"--patch_len (the reference has the same constraint)")
         # channel plan outermost -> innermost
         downs = [ngf, ngf * 2, ngf * 4] + [ngf * 8] * (self.num_downs - 3)
 

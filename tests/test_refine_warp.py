@@ -93,6 +93,14 @@ class TestRefineNetworks:
         assert y.shape == (1, 64, 64, 3)
         assert float(jnp.abs(y).max()) <= 1.0  # tanh
 
+    def test_unet_too_small_patch_clear_error(self):
+        from nerfsr_tpu.models.networks import UnetGenerator
+
+        net = UnetGenerator()  # num_downs=6 needs >= 64px
+        x = jnp.zeros((1, 16, 16, 9))
+        with pytest.raises(ValueError, match="num_downs"):
+            net.init(jax.random.PRNGKey(0), x, train=False)
+
     def test_maxpooling_permutation_invariant(self):
         from nerfsr_tpu.models.networks import MaxPoolingModel
 
