@@ -28,16 +28,29 @@ def main():
     p.add_argument("--n_imgs", type=int, default=8)
     p.add_argument("--fast_sampling", action="store_true",
                    help="proposal-MLP sampling (see config.py)")
+    p.add_argument("--N_importance", type=int, default=64,
+                   help="big-MLP samples/ray (fast path: the ONLY "
+                        "big-MLP level)")
+    p.add_argument("--n_prop", type=int, default=64,
+                   help="proposal-MLP samples/ray (fast path)")
+    p.add_argument("--fast_uniform_frac", type=float, default=0.25)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--texture", action="store_true",
+                   help="textured scene (config-discriminating; the "
+                        "smooth-blob default saturates its data "
+                        "ceiling for every config)")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    cache = os.path.expanduser("~/.cache/nerfsr_tpu/xla")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if not os.environ.get("NERFSR_NO_COMPILE_CACHE"):
+        cache = os.path.expanduser("~/.cache/nerfsr_tpu/xla")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
 
     from nerfsr_tpu.config import default_options
     from nerfsr_tpu.data import create_dataset
@@ -45,20 +58,28 @@ def main():
     from nerfsr_tpu.models import create_model
 
     w, h = args.wh
-    scene = os.path.join(args.out_dir, "scene")
+    scene = os.path.join(args.out_dir,
+                         "scene_tex" if args.texture else "scene")
     if not os.path.exists(os.path.join(scene, "sparse/0/cameras.bin")):
-        print(f"[flagship] generating synthetic LLFF scene {w}x{h}...")
+        print(f"[flagship] generating synthetic LLFF scene {w}x{h} "
+              f"(texture={args.texture})...")
         from tools.make_synthetic_llff import make_llff_scene
-        make_llff_scene(scene, hw=(h, w), n_imgs=args.n_imgs)
+        make_llff_scene(scene, hw=(h, w), n_imgs=args.n_imgs,
+                        texture=args.texture)
 
     opt = default_options(
         "train", model="nerf_downX", dataset_mode="llff_downX",
         dataset_root=scene, img_wh=(w, h), downscale=2, batch_size=512,
-        N_coarse=64, N_importance=64, precision="mixed",
+        N_coarse=64, N_importance=args.N_importance, precision="mixed",
         white_bkgd=False, noise_std=1.0, include_var=True,
-        fast_sampling=args.fast_sampling,
+        fast_sampling=args.fast_sampling, n_prop=args.n_prop,
+        fast_uniform_frac=args.fast_uniform_frac,
         n_epochs=30, n_epochs_decay=10, lr=5e-4, lr_final=5e-6)
     system = create_model(opt)
+    print(f"[flagship] cfg: fast={system.render_cfg.fast_sampling} "
+          f"n_imp={system.render_cfg.n_importance} "
+          f"n_prop={system.render_cfg.n_prop} "
+          f"unifrac={system.render_cfg.uniform_frac} seed={args.seed}")
     ds = create_dataset(opt, "train")
     t0 = time.time()
     buf_np = ds.ray_buffer()
@@ -66,9 +87,9 @@ def main():
           f"({time.time()-t0:.1f}s build)")
     buf = jax.tree_util.tree_map(jnp.asarray, buf_np)
     spe = max(1, buf_np["rgbs"].shape[0] // opt.batch_size)
-    state = system.create_state(jax.random.PRNGKey(0),
+    state = system.create_state(jax.random.PRNGKey(args.seed),
                                 steps_per_epoch=spe)
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(args.seed)
 
     K = 100
     steps = 0
@@ -85,10 +106,13 @@ def main():
                 f" ({hr_rays/(time.time()-t0):,.0f} HR rays/s)",
                 flush=True)
 
+    ck = sum(float(jnp.sum(jnp.abs(x)))
+             for x in jax.tree_util.tree_leaves(state.params))
+    print(f"[flagship] param_checksum={ck!r}")
     val = create_dataset(opt, "val")
     metrics = validate(opt, system, state.params, val,
                        out_dir=os.path.join(args.out_dir, "val_vis"))
-    print("[flagship] FINAL val:", {k: round(v, 3)
+    print("[flagship] FINAL val:", {k: round(v, 5)
                                     for k, v in metrics.items()})
     print(f"[flagship] {steps} steps in {time.time()-t0:.0f}s")
 

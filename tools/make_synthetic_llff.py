@@ -35,12 +35,18 @@ def nerf_pose(eye, target):
     return np.stack([x, y, z, eye], 1)
 
 
-def make_llff_scene(out_dir, hw=(40, 40), n_imgs=6, seed=0):
+def make_llff_scene(out_dir, hw=(40, 40), n_imgs=6, seed=0,
+                    texture=False):
     from PIL import Image
 
     rng = np.random.RandomState(seed)
     h, w = hw
-    focal = 45.0
+    # scale focal with width: ~53 degree horizontal FOV, so the blob
+    # cluster fills the frame at ANY resolution (identical to the old
+    # fixed 45.0 at the 40px test size; at 504px the old value framed
+    # the scene as a ~16px dot in a white field — trivially learnable,
+    # which silently capped what flagship quality runs could measure).
+    focal = 1.125 * w
     sparse = os.path.join(out_dir, "sparse/0")
     os.makedirs(sparse, exist_ok=True)
     os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
@@ -60,7 +66,9 @@ def make_llff_scene(out_dir, hw=(40, 40), n_imgs=6, seed=0):
             4.0 + rng.randn() * 0.1])
         c2w = nerf_pose(eye, np.zeros(3))
         poses.append(c2w)
-        img = render_view(c2w, hw, focal, near=2.0, far=6.5)
+        img = render_view(c2w, hw, focal, near=2.0, far=6.5,
+                          texture=texture,
+                          n_samples=256 if texture else 96)
         name = f"img_{i:03d}.png"
         Image.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(out_dir, "images", name))
@@ -96,6 +104,10 @@ if __name__ == "__main__":
     p.add_argument("out_dir")
     p.add_argument("--hw", type=int, nargs=2, default=[40, 40])
     p.add_argument("--n_imgs", type=int, default=6)
+    p.add_argument("--texture", action="store_true",
+                   help="high-frequency procedural albedo (needed for "
+                        "config-discriminating quality comparisons)")
     args = p.parse_args()
-    make_llff_scene(args.out_dir, tuple(args.hw), args.n_imgs)
+    make_llff_scene(args.out_dir, tuple(args.hw), args.n_imgs,
+                    texture=args.texture)
     print(f"llff scene written to {args.out_dir}")

@@ -42,11 +42,19 @@ def timeit(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
+def _enable_compile_cache():
+    cache = os.path.expanduser("~/.cache/nerfsr_tpu/xla")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch_lr", type=int, default=512)
     args = ap.parse_args()
+    _enable_compile_cache()
 
     from nerfsr_tpu.config import default_options
     from nerfsr_tpu.models import create_model
