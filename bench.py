@@ -8,7 +8,8 @@ points/ray, two networks), subpixel-mean LR loss, mixed bf16,
 per-step compute effect).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"secondary_flat_nerf_rays_per_sec"}.
+"parity_path_rays_per_sec", "fast32_rays_per_sec",
+"eval_render_rays_per_sec"}.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md), so
 vs_baseline divides by a documented ESTIMATE of the reference's per-GPU
@@ -118,9 +119,12 @@ def main():
     grouped = _grouped_buffer(1 << 16, ds * ds)
 
     # PRIMARY: the flagship nerf_downX step with --fast_sampling
-    # (proposal-MLP importance sampling). Validated at EQUAL quality to
-    # the parity path on the synthetic flagship scene: 30 epochs both
-    # reach val HR PSNR 30.82 / SSIM 0.9955 (test_train 30.91/0.9956).
+    # (proposal-MLP importance sampling). Quality-validated on the
+    # TEXTURED synthetic flagship scene (tools/flagship_run.py
+    # --texture; the smooth-blob scene saturates its data ceiling for
+    # every config and cannot discriminate): 2-seed val HR PSNR means,
+    # parity 35.70 / SSIM 0.920 vs fast 35.63 / 0.920 — inside the
+    # +/-0.16 dB seed spread.
     opt_fast = default_options(
         "train", model="nerf_downX", dataset_mode="llff_downX",
         batch_size=batch_lr, N_coarse=64, N_importance=64,
@@ -129,6 +133,18 @@ def main():
         img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
     dt_fast = _bench_system(opt_fast, grouped, n_steps)
     fast_rays_per_sec = n_steps * n_hr_rays / dt_fast
+
+    # AGGRESSIVE: --fast_sampling --N_importance 32 — half the big-MLP
+    # points of the fast path. Textured-scene 2-seed mean val HR PSNR
+    # 35.70 / SSIM 0.920 == the parity mean (inside seed noise).
+    opt_fast32 = default_options(
+        "train", model="nerf_downX", dataset_mode="llff_downX",
+        batch_size=batch_lr, N_coarse=64, N_importance=32,
+        precision="mixed", white_bkgd=False, noise_std=1.0,
+        downscale=ds, include_var=True, fast_sampling=True,
+        img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
+    dt_fast32 = _bench_system(opt_fast32, grouped, n_steps)
+    fast32_rays_per_sec = n_steps * n_hr_rays / dt_fast32
 
     # SECONDARY: the reference-parity coarse+fine flagship step
     opt = default_options(
@@ -153,6 +169,7 @@ def main():
         "vs_baseline": round(fast_rays_per_sec / REFERENCE_RAYS_PER_SEC,
                              2),
         "parity_path_rays_per_sec": round(parity_rays_per_sec, 1),
+        "fast32_rays_per_sec": round(fast32_rays_per_sec, 1),
         "eval_render_rays_per_sec": round(eval_rays_per_sec, 1),
     }))
 

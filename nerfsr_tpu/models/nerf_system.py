@@ -73,7 +73,7 @@ class NeRFSystem:
             fast_sampling=getattr(opt, "fast_sampling", False),
             n_prop=getattr(opt, "n_prop", 64),
             deg_prop=getattr(opt, "deg_prop", 6),
-            uniform_frac=getattr(opt, "fast_uniform_frac", 0.25),
+            uniform_frac=getattr(opt, "fast_uniform_frac", 0.0),
         )
         self.prop_mlp = None
         if self.render_cfg.fast_sampling:

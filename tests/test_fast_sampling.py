@@ -59,6 +59,22 @@ class TestFastRender:
         assert np.all(np.diff(z, axis=-1) >= 0)
         assert z.min() >= 0.0 and z.max() <= 1.0
 
+    def test_uniform_mix_branch(self):
+        """--fast_uniform_frac > 0 mixes stratified uniforms into the
+        CDF samples (extra merge sort path); depths stay sorted and
+        in-bounds, and the count is still N_importance."""
+        opt = _fast_opt(fast_uniform_frac=0.5)
+        system = create_model(opt)
+        assert system.render_cfg.uniform_frac == 0.5
+        params = system.init_params(jax.random.PRNGKey(0))
+        batch = _ray_batch(8)
+        out = system.render(params, system._batch_to_rays(batch),
+                            jax.random.PRNGKey(1), randomized=True)
+        z = np.asarray(out["fine_z"])
+        assert z.shape == (8, opt.N_importance)
+        assert np.all(np.diff(z, axis=-1) >= 0)
+        assert z.min() >= 0.0 and z.max() <= 1.0
+
     def test_render_image_and_metrics(self):
         opt = _fast_opt(img_wh=(8, 8), ray_chunk=32)
         system = create_model(opt)

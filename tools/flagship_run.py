@@ -33,7 +33,7 @@ def main():
                         "big-MLP level)")
     p.add_argument("--n_prop", type=int, default=64,
                    help="proposal-MLP samples/ray (fast path)")
-    p.add_argument("--fast_uniform_frac", type=float, default=0.25)
+    p.add_argument("--fast_uniform_frac", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--texture", action="store_true",
                    help="textured scene (config-discriminating; the "
