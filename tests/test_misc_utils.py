@@ -62,3 +62,37 @@ def test_blender_downx_rand_dir(tmp_path):
     b = d2.ray_buffer()
     np.testing.assert_allclose(
         np.linalg.norm(b["directions"], axis=-1), 1.0, rtol=1e-5)
+
+
+def test_scene_generator_golden_and_texture():
+    """Guard the synthetic-scene generators: the DEFAULT (texture=False)
+    render is the substrate of most e2e tests — its statistics must not
+    drift — and the --texture variant must add real high-frequency
+    content (it exists purely to give quality comparisons discriminating
+    power; see tools/make_synthetic_scene.py:field)."""
+    from tools.make_synthetic_llff import nerf_pose
+    from tools.make_synthetic_scene import render_view
+
+    c2w = nerf_pose(np.array([0.0, 0.0, 4.0]), np.zeros(3))
+    # 96px with the width-scaled focal (1.125*w) resolves the finest
+    # texture component; the smooth render's stats are golden.
+    img = render_view(c2w, (96, 96), 1.125 * 96, near=2.0, far=6.5)
+    assert abs(float(img.mean()) - 0.82038) < 2e-3
+    tex = render_view(c2w, (96, 96), 1.125 * 96, near=2.0, far=6.5,
+                      texture=True)
+    g_s = np.abs(np.diff(img, axis=1)).mean()
+    g_t = np.abs(np.diff(tex, axis=1)).mean()
+    assert g_t > 1.4 * g_s, (g_s, g_t)
+
+
+def test_llff_generator_focal_scales_with_width(tmp_path):
+    """make_llff_scene writes a width-proportional focal (53-degree FOV
+    at every size; the old fixed 45.0 framed full-size scenes as a dot)
+    and the 40px test-scene focal is unchanged."""
+    from nerfsr_tpu.data.colmap import read_cameras_binary
+    from tools.make_synthetic_llff import make_llff_scene
+
+    scene = make_llff_scene(str(tmp_path / "s"), hw=(30, 40), n_imgs=2)
+    cams = read_cameras_binary(os.path.join(scene, "sparse/0/cameras.bin"))
+    cam = cams[1] if isinstance(cams, dict) else cams[0]
+    assert abs(float(cam.params[0]) - 45.0) < 1e-6

@@ -34,6 +34,8 @@ def main():
     p.add_argument("--n_prop", type=int, default=64,
                    help="proposal-MLP samples/ray (fast path)")
     p.add_argument("--fast_uniform_frac", type=float, default=0.0)
+    p.add_argument("--W", type=int, default=256,
+                   help="big-MLP width (capacity/speed experiments)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--texture", action="store_true",
                    help="textured scene (config-discriminating; the "
@@ -73,7 +75,7 @@ def main():
         N_coarse=64, N_importance=args.N_importance, precision="mixed",
         white_bkgd=False, noise_std=1.0, include_var=True,
         fast_sampling=args.fast_sampling, n_prop=args.n_prop,
-        fast_uniform_frac=args.fast_uniform_frac,
+        fast_uniform_frac=args.fast_uniform_frac, W=args.W,
         n_epochs=30, n_epochs_decay=10, lr=5e-4, lr_final=5e-6)
     system = create_model(opt)
     print(f"[flagship] cfg: fast={system.render_cfg.fast_sampling} "
