@@ -8,7 +8,7 @@ points/ray, two networks), subpixel-mean LR loss, mixed bf16,
 per-step compute effect).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"parity_path_rays_per_sec", "fast32_rays_per_sec",
+"fast64_rays_per_sec", "parity_path_rays_per_sec",
 "eval_render_rays_per_sec"}.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md), so
@@ -119,12 +119,26 @@ def main():
     grouped = _grouped_buffer(1 << 16, ds * ds)
 
     # PRIMARY: the flagship nerf_downX step with --fast_sampling
-    # (proposal-MLP importance sampling). Quality-validated on the
-    # TEXTURED synthetic flagship scene (tools/flagship_run.py
-    # --texture; the smooth-blob scene saturates its data ceiling for
-    # every config and cannot discriminate): 2-seed val HR PSNR means,
-    # parity 35.70 / SSIM 0.920 vs fast 35.63 / 0.920 — inside the
-    # +/-0.16 dB seed spread.
+    # --N_importance 32 --n_prop 96 (proposal-MLP importance sampling:
+    # half the big-MLP points, 1.5x the tiny proposal points).
+    # Quality-validated on the TEXTURED synthetic flagship scene
+    # (tools/flagship_run.py --texture; the smooth-blob scene saturates
+    # its data ceiling for every config and cannot discriminate).
+    # Full 30-epoch runs, val HR PSNR/SSIM, seeds 0+1: this config
+    # 37.87+36.91 / 0.947+0.936 vs parity 37.77+36.45 / 0.945+0.930 —
+    # matches-or-beats the parity path in BOTH seeds.
+    opt_fast32 = default_options(
+        "train", model="nerf_downX", dataset_mode="llff_downX",
+        batch_size=batch_lr, N_coarse=64, N_importance=32, n_prop=96,
+        precision="mixed", white_bkgd=False, noise_std=1.0,
+        downscale=ds, include_var=True, fast_sampling=True,
+        img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
+    dt_fast32 = _bench_system(opt_fast32, grouped, n_steps)
+    fast32_rays_per_sec = n_steps * n_hr_rays / dt_fast32
+
+    # SECONDARY: --fast_sampling at the reference's sample count
+    # (N_importance 64). Textured 30-epoch quality: 37.90+36.53 /
+    # 0.946+0.931 across seeds — also >= parity.
     opt_fast = default_options(
         "train", model="nerf_downX", dataset_mode="llff_downX",
         batch_size=batch_lr, N_coarse=64, N_importance=64,
@@ -134,19 +148,7 @@ def main():
     dt_fast = _bench_system(opt_fast, grouped, n_steps)
     fast_rays_per_sec = n_steps * n_hr_rays / dt_fast
 
-    # AGGRESSIVE: --fast_sampling --N_importance 32 — half the big-MLP
-    # points of the fast path. Textured-scene 2-seed mean val HR PSNR
-    # 35.70 / SSIM 0.920 == the parity mean (inside seed noise).
-    opt_fast32 = default_options(
-        "train", model="nerf_downX", dataset_mode="llff_downX",
-        batch_size=batch_lr, N_coarse=64, N_importance=32,
-        precision="mixed", white_bkgd=False, noise_std=1.0,
-        downscale=ds, include_var=True, fast_sampling=True,
-        img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
-    dt_fast32 = _bench_system(opt_fast32, grouped, n_steps)
-    fast32_rays_per_sec = n_steps * n_hr_rays / dt_fast32
-
-    # SECONDARY: the reference-parity coarse+fine flagship step
+    # TERTIARY: the reference-parity coarse+fine flagship step
     opt = default_options(
         "train", model="nerf_downX", dataset_mode="llff_downX",
         batch_size=batch_lr, N_coarse=64, N_importance=64,
@@ -155,21 +157,22 @@ def main():
     dt = _bench_system(opt, grouped, n_steps)
     parity_rays_per_sec = n_steps * n_hr_rays / dt
 
-    # TERTIARY: eval render throughput at flagship image size (504x378 =
+    # ALSO: eval render throughput at flagship image size (504x378 =
     # 190512 HR rays; feeds the test/warp/refine pipeline stages).
     n_lr_img = (504 * 378) // (ds * ds)
-    dt_eval = _bench_eval(opt_fast, n_lr_img, ds * ds)
+    dt_eval = _bench_eval(opt_fast32, n_lr_img, ds * ds)
     eval_rays_per_sec = n_lr_img * ds * ds / dt_eval
 
     print(json.dumps({
         "metric": "train rays/sec/chip (LLFF x2 SS flagship step, "
-                  "--fast_sampling, PSNR-parity-validated)",
-        "value": round(fast_rays_per_sec, 1),
+                  "--fast_sampling --N_importance 32 --n_prop 96, "
+                  "matches-or-beats parity PSNR/SSIM both seeds)",
+        "value": round(fast32_rays_per_sec, 1),
         "unit": "rays/s",
-        "vs_baseline": round(fast_rays_per_sec / REFERENCE_RAYS_PER_SEC,
-                             2),
+        "vs_baseline": round(
+            fast32_rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
+        "fast64_rays_per_sec": round(fast_rays_per_sec, 1),
         "parity_path_rays_per_sec": round(parity_rays_per_sec, 1),
-        "fast32_rays_per_sec": round(fast32_rays_per_sec, 1),
         "eval_render_rays_per_sec": round(eval_rays_per_sec, 1),
     }))
 
