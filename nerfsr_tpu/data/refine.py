@@ -149,6 +149,19 @@ class LLFFRefineDataset:
         self.bboxes = np.stack(bboxes)
         self.gt_img = gt
 
+    def device_buffers(self):
+        """Train-mode image stacks for DEVICE-RESIDENT patch sampling
+        (``RefineSystem.train_steps_scan``): uploaded to HBM once, after
+        which each train step samples its patch batch inside the jitted
+        program — no per-step host->device traffic (a 32-patch batch is
+        ~16 MB, which costs ~1 s/step through a tunneled link)."""
+        return {
+            "sr_imgs": self.sr_imgs,
+            "gt_imgs": self.gt_imgs,
+            "gt_img": self.gt_img,
+            "bboxes": np.asarray(self.bboxes, np.int32),
+        }
+
     def _load_pairs(self):
         self.gt_imgs = np.stack([self._load_gt(p)
                                  for p in self.image_paths])

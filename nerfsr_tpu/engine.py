@@ -368,21 +368,46 @@ def train_refine(opt):
     val_freq = getattr(opt, "val_freq", 0)
     vis_freq = getattr(opt, "vis_freq", 0)
 
+    # Device-resident patch pipeline (non-GAN): upload the augmented
+    # image stacks to HBM once; each step samples its patch batch
+    # INSIDE the jitted scan (refine_system.train_steps_scan) — no
+    # per-step host->device traffic (a 32-patch batch is ~16 MB). The
+    # GAN path keeps host sampling (the ImagePool fake-history buffer
+    # is host-side by design).
+    dev_buffers = None
+    if (d_state is None and hasattr(dataset, "device_buffers")
+            and hasattr(system, "train_steps_scan")):
+        dev_buffers = jax.tree_util.tree_map(
+            jnp.asarray, dataset.device_buffers())
+
     global_step = int(state.step)
     val_counter = 0
     for epoch in range(start_epoch + 1, opt.n_epochs + 1):
         t0 = time.time()
-        for _ in range(steps_per_epoch):
-            batch = dataset.sample_train_batch(opt.batch_size)
-            batch = jax.tree_util.tree_map(jnp.asarray, batch)
-            if d_state is not None:
-                state, d_state, losses, fakes = system.gan_train_step(
-                    state, d_state, batch, key, pool_fakes)
-                pool_fakes = jnp.asarray(
-                    gan_pool.query(np.asarray(fakes)))
+        epoch_left = steps_per_epoch
+        while epoch_left > 0:
+            if dev_buffers is not None:
+                # scan to the next log/val cadence boundary
+                k = min([epoch_left] +
+                        [f - (global_step % f) for f in
+                         (log_every, val_freq) if f and f > 0])
+                state, losses = system.train_steps_scan(
+                    state, dev_buffers, k, key)
+                global_step += k
+                epoch_left -= k
             else:
-                state, losses = system.train_step(state, batch, key)
-            global_step += 1
+                batch = dataset.sample_train_batch(opt.batch_size)
+                batch = jax.tree_util.tree_map(jnp.asarray, batch)
+                if d_state is not None:
+                    state, d_state, losses, fakes = \
+                        system.gan_train_step(
+                            state, d_state, batch, key, pool_fakes)
+                    pool_fakes = jnp.asarray(
+                        gan_pool.query(np.asarray(fakes)))
+                else:
+                    state, losses = system.train_step(state, batch, key)
+                global_step += 1
+                epoch_left -= 1
             if global_step % log_every == 0:
                 scal = {k: float(v) for k, v in
                         jax.device_get(losses).items()}

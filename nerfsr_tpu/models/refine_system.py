@@ -135,6 +135,9 @@ class RefineSystem:
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: RefineState, batch, key):
         del key
+        return self._train_step_impl(state, batch)
+
+    def _train_step_impl(self, state: RefineState, batch):
         opt = self.opt
         batch = shard_batch(batch, self.mesh)
 
@@ -185,6 +188,83 @@ class RefineSystem:
         batch = dataset.sample_train_batch(self.opt.batch_size)
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
         return self.train_step(state, batch, key)
+
+    def _sample_patch_batch(self, buffers, key):
+        """In-jit port of ``LLFFRefineDataset.sample_train_batch``
+        (``data/refine.py:169-196``; reference ``llff_refine_dataset.py:
+        214-238``): sr/gt patch at a bbox-constrained random location of
+        a random augmented view + ``num_ref_patches`` nearby patches of
+        the unwarped reference view. The image stacks live in HBM
+        (``dataset.device_buffers()``); patch cuts are batched
+        ``dynamic_slice``s, so a train step consumes ZERO per-step
+        host->device traffic. RNG parity with the numpy sampler is not
+        bit-exact (different streams) — training stochasticity only."""
+        opt = self.opt
+        plen = int(opt.patch_len)
+        n_aug = buffers["sr_imgs"].shape[0]
+        off = int(opt.ref_offset)
+        k_ref = int(opt.num_ref_patches)
+
+        def rand_between(key, lo, hi):
+            # numpy parity: rng.randint(lo, max(lo + 1, hi))
+            return jax.random.randint(key, (), lo,
+                                      jnp.maximum(lo + 1, hi))
+
+        def one(key):
+            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+            i = jax.random.randint(k1, (), 0, n_aug)
+            box = jax.lax.dynamic_index_in_dim(
+                buffers["bboxes"], i, keepdims=False)
+            x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
+            xs = rand_between(k2, x0, x1 - plen)
+            ys = rand_between(k3, y0, y1 - plen)
+            sr = jax.lax.dynamic_slice(
+                buffers["sr_imgs"], (i, ys, xs, 0),
+                (1, plen, plen, 3))[0]
+            gt = jax.lax.dynamic_slice(
+                buffers["gt_imgs"], (i, ys, xs, 0),
+                (1, plen, plen, 3))[0]
+            rxl = jnp.maximum(x0, xs - off)
+            rxh = jnp.minimum(x1 - plen, xs + off)
+            ryl = jnp.maximum(y0, ys - off)
+            ryh = jnp.minimum(y1 - plen, ys + off)
+
+            def ref_one(kk):
+                ka, kb = jax.random.split(kk)
+                rx = rand_between(ka, rxl, rxh)
+                ry = rand_between(kb, ryl, ryh)
+                return jax.lax.dynamic_slice(
+                    buffers["gt_img"], (ry, rx, 0), (plen, plen, 3))
+
+            refs = jax.vmap(ref_one)(jax.random.split(k4, k_ref))
+            if getattr(opt, "with_gt_patch", False):
+                j = jax.random.randint(k5, (), 0, k_ref)
+                refs = jnp.where(
+                    (jnp.arange(k_ref) == j)[:, None, None, None],
+                    gt[None], refs)
+            return sr, refs, gt
+
+        sr, refs, gt = jax.vmap(one)(
+            jax.random.split(key, opt.batch_size))
+        return {"sr_patch": sr, "ref_patches": refs, "gt_patch": gt}
+
+    @functools.partial(jax.jit, static_argnums=(0, 3),
+                       donate_argnums=1)
+    def train_steps_scan(self, state: RefineState, buffers,
+                         n_steps: int, key):
+        """Run ``n_steps`` device-sampled refine steps as ONE compiled
+        ``lax.scan`` program (same design as the NeRF systems'
+        ``train_steps_scan``): amortizes dispatch through the host link
+        and keeps the patch pipeline entirely in HBM. Returns the final
+        state and the LAST step's losses."""
+
+        def body(state, _):
+            step_key = jax.random.fold_in(key, state.step)
+            batch = self._sample_patch_batch(buffers, step_key)
+            return self._train_step_impl(state, batch)
+
+        state, losses = jax.lax.scan(body, state, None, length=n_steps)
+        return state, jax.tree_util.tree_map(lambda x: x[-1], losses)
 
     @functools.partial(jax.jit, static_argnums=0)
     def predict(self, state: RefineState, sr, refs):

@@ -228,6 +228,57 @@ class TestRefineDataset:
         assert batch["gt_patch"].shape == (4, 32, 32, 3)
         assert batch["sr_patch"].min() >= -1 and batch["sr_patch"].max() <= 1
 
+    def test_device_patch_sampler_matches_host_semantics(self):
+        """In-jit patch sampler (refine_system._sample_patch_batch):
+        every sr/gt cut lands inside its aug image's bbox and ref cuts
+        come from the unwarped reference image, mirroring the numpy
+        sampler (data/refine.py:169-196). Pixel values encode (y, x,
+        aug) so patch provenance is decodable from the corner texel."""
+        from nerfsr_tpu.models import create_model
+
+        h = w = 48
+        plen = 16
+        n_aug = 3
+        opt = refine_opt(patch_len=plen, batch_size=16,
+                         num_ref_patches=2, ref_offset=8,
+                         refine_network="unetgenerator")
+        system = create_model(opt)
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        stack = np.stack([
+            np.stack([yy, xx, np.full_like(yy, a)], -1)
+            for a in range(n_aug)]).astype(np.float32)
+        bboxes = np.array([[0, 0, w, h],       # full image
+                           [4, 6, 40, 44],     # interior box
+                           [10, 2, 30, 20]], np.int32)  # x0,y0,x1,y1
+        buffers = {
+            "sr_imgs": jnp.asarray(stack),
+            "gt_imgs": jnp.asarray(stack + 100.0),
+            "gt_img": jnp.asarray(stack[0] + 1000.0),
+            "bboxes": jnp.asarray(bboxes),
+        }
+        batch = system._sample_patch_batch(buffers,
+                                           jax.random.PRNGKey(3))
+        sr = np.asarray(batch["sr_patch"])
+        gt = np.asarray(batch["gt_patch"])
+        refs = np.asarray(batch["ref_patches"])
+        assert sr.shape == (16, plen, plen, 3)
+        for b in range(16):
+            ys, xs, a = (int(sr[b, 0, 0, 0]), int(sr[b, 0, 0, 1]),
+                         int(sr[b, 0, 0, 2]))
+            x0, y0, x1, y1 = bboxes[a]
+            assert x0 <= xs and xs + plen <= max(x1, x0 + plen + 1)
+            assert y0 <= ys and ys + plen <= max(y1, y0 + plen + 1)
+            # gt patch: same location, gt stack (+100 marker)
+            assert gt[b, 0, 0, 0] == ys + 100
+            assert gt[b, 0, 0, 1] == xs + 100
+            # ref patches come from the unwrapped reference (+1000
+            # marker) within ref_offset of (ys, xs)
+            for j in range(refs.shape[1]):
+                ry = refs[b, j, 0, 0, 0] - 1000
+                rx = refs[b, j, 0, 0, 1] - 1000
+                assert abs(ry - ys) <= 8 + plen
+                assert abs(rx - xs) <= 8 + plen
+
     def test_tiles_cover_image(self, setup_scene):
         from nerfsr_tpu.data import create_dataset
 
