@@ -33,17 +33,6 @@ def _timed_scan(system, state, buffer, n_steps, key):
     return state
 
 
-def _enable_compile_cache():
-    import os
-
-    import jax
-
-    cache = os.path.expanduser("~/.cache/nerfsr_tpu/xla")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-
 def _bench_system(opt, buffer, n_steps=50):
     import jax
 
@@ -57,28 +46,6 @@ def _bench_system(opt, buffer, n_steps=50):
     t0 = time.perf_counter()
     _timed_scan(system, state, buffer, n_steps, key)
     return time.perf_counter() - t0
-
-
-def _grouped_buffer(n_lr, ds2, seed=0):
-    """Device buffer shaped like LLFFDownX ray_buffer(): grouped
-    (N_lr, ds^2, C) HR rays + (N_lr, 3) LR rgb + (N_lr, ds^2, 3) HR."""
-    import jax.numpy as jnp
-    import numpy as np
-
-    rng = np.random.RandomState(seed)
-    d = rng.randn(n_lr, ds2, 3).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    return {
-        "origins": jnp.asarray(
-            rng.randn(n_lr, ds2, 3).astype(np.float32) * 0.1),
-        "directions": jnp.asarray(d),
-        "viewdirs": jnp.asarray(d),
-        "near": jnp.zeros((n_lr, ds2, 1), jnp.float32),
-        "far": jnp.ones((n_lr, ds2, 1), jnp.float32),
-        "rgbs": jnp.asarray(rng.rand(n_lr, 3).astype(np.float32)),
-        "rgbs_ori": jnp.asarray(
-            rng.rand(n_lr, ds2, 3).astype(np.float32)),
-    }
 
 
 def _bench_eval(opt, n_lr, ds2):
@@ -110,13 +77,15 @@ def _bench_eval(opt, n_lr, ds2):
 
 def main():
     from nerfsr_tpu.config import default_options
+    from nerfsr_tpu.utils.devbench import (enable_compile_cache,
+                                           grouped_buffer)
 
-    _enable_compile_cache()
+    enable_compile_cache()
     ds = 2
     batch_lr = 512
     n_hr_rays = batch_lr * ds * ds
     n_steps = 50
-    grouped = _grouped_buffer(1 << 16, ds * ds)
+    grouped = grouped_buffer(1 << 16, ds * ds)
 
     # PRIMARY: the flagship nerf_downX step with --fast_sampling
     # --N_importance 32 --n_prop 96 (proposal-MLP importance sampling:

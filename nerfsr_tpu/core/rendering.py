@@ -39,20 +39,7 @@ def volumetric_rendering(rgb: jnp.ndarray, sigma: jnp.ndarray,
     Returns:
       comp_rgb (..., 3), depth (...), opacity (...), weights (..., S).
     """
-    eps = 1e-10
-    deltas = z_vals[..., 1:] - z_vals[..., :-1]
-    deltas = jnp.concatenate(
-        [deltas, jnp.full_like(deltas[..., :1], 1e10)], axis=-1)
-
-    alpha = 1.0 - jnp.exp(-deltas * sigma_activation(sigma, activation))
-    trans = jnp.concatenate(
-        [
-            jnp.ones_like(alpha[..., :1]),
-            jnp.cumprod(1.0 - alpha[..., :-1] + eps, axis=-1),
-        ],
-        axis=-1,
-    )
-    weights = alpha * trans
+    weights = compute_weights(sigma, z_vals, activation)
 
     comp_rgb = jnp.sum(weights[..., None] * rgb, axis=-2)
     depth = jnp.sum(weights * z_vals, axis=-1)
@@ -112,19 +99,7 @@ def bilateral_volumetric_rendering(rgb: jnp.ndarray,
     Returns:
       comp_rgb (N, 3), depth (N,), opacity (N,), weights (N, S).
     """
-    eps = 1e-10
-    deltas = z_vals[..., 1:] - z_vals[..., :-1]
-    deltas = jnp.concatenate(
-        [deltas, jnp.full_like(deltas[..., :1], 1e10)], axis=-1)
-    alpha = 1.0 - jnp.exp(-deltas * sigma_activation(sigma, activation))
-    trans = jnp.concatenate(
-        [
-            jnp.ones_like(alpha[..., :1]),
-            jnp.cumprod(1.0 - alpha[..., :-1] + eps, axis=-1),
-        ],
-        axis=-1,
-    )
-    weights = alpha * trans
+    weights = compute_weights(sigma, z_vals, activation)
 
     n = rgb.shape[0]
     neighbors = neighbor_rgbs.reshape((5, n) + rgb.shape[1:])

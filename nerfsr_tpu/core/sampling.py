@@ -66,30 +66,21 @@ def select_along_axis(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         jnp.where(mask, values[..., None, :], 0), axis=-1)
 
 
-def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray,
-               num_samples: int, randomized: bool) -> jnp.ndarray:
-    """Inverse-CDF sampling of ``num_samples`` new depths from a piecewise
-    PDF over ``bins``.
+def _invert_cdf(bins: jnp.ndarray, weights: jnp.ndarray,
+                u: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Shared inverse-CDF tail of ``sample_pdf``/``sample_pdf_stratified``
+    (only the construction of ``u`` differs between them).
 
-    Parity with ``models/utils.py:61-92``: eps=1e-5 added to weights, CDF
+    Parity with ``models/utils.py:61-92``: eps added to weights, CDF
     zero-padded, searchsorted right, below/above clamping, and degenerate
     bins (denom < eps) mapped to denom=1.
-
-    bins: (N, B); weights: (N, B-1) -> (N, num_samples).
     """
-    eps = 1e-5
     weights = weights + eps
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
 
-    n_rays, n_bins = bins.shape
-    if randomized:
-        u = jax.random.uniform(key, (n_rays, num_samples), dtype=bins.dtype)
-    else:
-        u = jnp.linspace(0.0, 1.0, num_samples, dtype=bins.dtype)
-        u = jnp.broadcast_to(u, (n_rays, num_samples))
-
+    n_bins = bins.shape[-1]
     # searchsorted(right) per ray as an all-pairs comparison reduction:
     # inds[n, q] = #{b : cdf[n, b] <= u[n, q]}. The (Q x B) bool cube is
     # tiny and fully parallel on the VPU — measured ~6-20x faster on TPU
@@ -110,6 +101,22 @@ def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray,
     return bins_below + t * (bins_above - bins_below)
 
 
+def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray,
+               num_samples: int, randomized: bool) -> jnp.ndarray:
+    """Inverse-CDF sampling of ``num_samples`` new depths from a piecewise
+    PDF over ``bins``. Parity: ``models/utils.py:61-92``.
+
+    bins: (N, B); weights: (N, B-1) -> (N, num_samples).
+    """
+    n_rays = bins.shape[0]
+    if randomized:
+        u = jax.random.uniform(key, (n_rays, num_samples), dtype=bins.dtype)
+    else:
+        u = jnp.linspace(0.0, 1.0, num_samples, dtype=bins.dtype)
+        u = jnp.broadcast_to(u, (n_rays, num_samples))
+    return _invert_cdf(bins, weights, u)
+
+
 def sample_pdf_stratified(key, bins: jnp.ndarray, weights: jnp.ndarray,
                           num_samples: int, randomized: bool):
     """Inverse-CDF sampling with STRATIFIED uniforms: u_i is jittered
@@ -119,13 +126,7 @@ def sample_pdf_stratified(key, bins: jnp.ndarray, weights: jnp.ndarray,
     resample would otherwise need (~5 ms/step at flagship shapes) and
     lowers sampling variance. Same eps/denominator edge cases as
     ``sample_pdf``."""
-    eps = 1e-5
-    weights = weights + eps
-    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    cdf = jnp.cumsum(pdf, axis=-1)
-    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
-
-    n_rays, n_bins = bins.shape
+    n_rays = bins.shape[0]
     base = jnp.arange(num_samples, dtype=bins.dtype)
     if randomized:
         jitter = jax.random.uniform(key, (n_rays, num_samples),
@@ -133,21 +134,7 @@ def sample_pdf_stratified(key, bins: jnp.ndarray, weights: jnp.ndarray,
     else:
         jitter = jnp.full((n_rays, num_samples), 0.5, bins.dtype)
     u = (base + jitter) / num_samples
-
-    inds = jnp.sum(
-        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, n_bins - 1)
-
-    cdf_below = select_along_axis(cdf, below)
-    cdf_above = select_along_axis(cdf, above)
-    bins_below = select_along_axis(bins, below)
-    bins_above = select_along_axis(bins, above)
-
-    denom = cdf_above - cdf_below
-    denom = jnp.where(denom < eps, 1.0, denom)
-    t = (u - cdf_below) / denom
-    return bins_below + t * (bins_above - bins_below)
+    return _invert_cdf(bins, weights, u)
 
 
 def resample_along_rays(key, origins, directions, z_vals, weights,

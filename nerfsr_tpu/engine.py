@@ -41,14 +41,8 @@ def setup(opt):
     np.random.seed(opt.seed)
     cache_dir = getattr(opt, "compilation_cache_dir", "")
     if cache_dir:
-        # persistent XLA compilation cache: the multi-minute train-step
-        # compile is keyed by (program, flags, platform) and reused
-        # across processes — resume/test/refine runs start in seconds.
-        import os
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+        from nerfsr_tpu.utils.devbench import enable_compile_cache
+        enable_compile_cache(cache_dir)
     if getattr(opt, "coordinator", None) or \
             getattr(opt, "num_processes", 0):
         proc_id = getattr(opt, "process_id", -1)
@@ -220,7 +214,7 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                 pb = jax.tree_util.tree_map(jnp.asarray, pb)
                 state, reg_losses = system.reg_patch_step(state, pb, key)
                 losses = {**losses, **reg_losses}
-            if global_step % log_every < k:
+            if log_every > 0 and global_step % log_every < k:
                 losses = jax.device_get(losses)
                 scal = {k: float(v) for k, v in losses.items()}
                 now = time.time()
@@ -253,12 +247,14 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
 
         print(f"[train] epoch {epoch} done in {time.time()-t_epoch:.1f}s")
 
-        if (epoch % opt.save_epoch_freq == 0
+        if ((opt.save_epoch_freq and epoch % opt.save_epoch_freq == 0)
                 or epoch == opt.n_epochs) and is_master():
             path = ckpt.save_checkpoint(opt, state, epoch)
             print(f"[train] saved {path}")
 
-        if val_ds is not None and is_master() and \
+        # --val_epoch_freq 0 disables the per-epoch validation pass
+        # (matches the refine loop's gate below)
+        if val_ds is not None and is_master() and opt.val_epoch_freq and \
                 (epoch % opt.val_epoch_freq == 0
                  or epoch == opt.n_epochs):
             metrics = validate(opt, system, state.params, val_ds,
@@ -341,7 +337,7 @@ def train_refine(opt):
     state = system.create_state(key, steps_per_epoch)
     d_state = system.create_gan_state(key) if opt.refine_as_gan else None
     # pix2pix fake-history pool for the D update (utils/image_pool.py)
-    gan_pool, pool_fakes = None, None
+    gan_pool = None
     if d_state is not None:
         from nerfsr_tpu.utils.image_pool import ImagePool
         gan_pool = ImagePool(pool_size=50, seed=opt.seed)
@@ -399,16 +395,21 @@ def train_refine(opt):
                 batch = dataset.sample_train_batch(opt.batch_size)
                 batch = jax.tree_util.tree_map(jnp.asarray, batch)
                 if d_state is not None:
-                    state, d_state, losses, fakes = \
-                        system.gan_train_step(
-                            state, d_state, batch, key, pool_fakes)
+                    # pix2pix pool semantics (utils/image_pool.py:query
+                    # call in the reference backward_D): the pool is
+                    # queried with THIS step's fakes, so D trains on a
+                    # mix of current + historical generator output.
+                    fakes = system.gan_fakes(state, batch)
                     pool_fakes = jnp.asarray(
                         gan_pool.query(np.asarray(fakes)))
+                    state, d_state, losses, _ = \
+                        system.gan_train_step(
+                            state, d_state, batch, key, pool_fakes)
                 else:
                     state, losses = system.train_step(state, batch, key)
                 global_step += 1
                 epoch_left -= 1
-            if global_step % log_every == 0:
+            if log_every > 0 and global_step % log_every == 0:
                 scal = {k: float(v) for k, v in
                         jax.device_get(losses).items()}
                 writer.add_scalars(scal, global_step, prefix="train/")
@@ -434,7 +435,7 @@ def train_refine(opt):
                                     range=(-1, 1))],
                         _vis_dir(opt, epoch, "iter"))
         print(f"[refine] epoch {epoch} done in {time.time()-t0:.1f}s")
-        if (epoch % opt.save_epoch_freq == 0
+        if ((opt.save_epoch_freq and epoch % opt.save_epoch_freq == 0)
                 or epoch == opt.n_epochs) and is_master():
             path = ckpt.save_checkpoint(opt, state, epoch)
             print(f"[refine] saved {path}")

@@ -275,9 +275,10 @@ class NeRFSystem:
         scale = 1.0 / (self.opt.downscale ** 2)
         losses = {}
         tot = 0.0
-        losses["ref_coarse_mse"] = jnp.mean(
-            (out["coarse_rgb"] - ref_batch["rgbs"]) ** 2) * scale
-        tot = tot + losses["ref_coarse_mse"]
+        if "coarse_rgb" in out:  # no coarse level under --fast_sampling
+            losses["ref_coarse_mse"] = jnp.mean(
+                (out["coarse_rgb"] - ref_batch["rgbs"]) ** 2) * scale
+            tot = tot + losses["ref_coarse_mse"]
         if "fine_rgb" in out:
             losses["ref_fine_mse"] = jnp.mean(
                 (out["fine_rgb"] - ref_batch["rgbs"]) ** 2) * scale
@@ -405,7 +406,8 @@ class NeRFSystem:
             loss, losses = self.compute_losses(out, flat)
             # edge-aware depth smoothness over patches (:276-290)
             rgb_p = flat["rgbs"].reshape(n_patches, ps, ps, 3)
-            if opt.lambda_coarse_depth_lap > 0 and ps > 2:
+            if opt.lambda_coarse_depth_lap > 0 and ps > 2 and \
+                    "coarse_depth" in out:
                 lap = bilateral_laplacian_loss(
                     out["coarse_depth"].reshape(n_patches, ps, ps),
                     rgb_p, opt.bilateral_gamma)

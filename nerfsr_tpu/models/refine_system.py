@@ -308,6 +308,18 @@ class RefineSystem:
                 "opt_state": self.txD.init(variables["params"])}
 
     @functools.partial(jax.jit, static_argnums=0)
+    def gan_fakes(self, state: RefineState, batch):
+        """Current generator output (stop-gradient) for the engine's
+        ImagePool query. Reference ``backward_D`` queries the pool with
+        THIS step's fakes (pix2pix semantics: D sees a ~50/50 mix of
+        current and historical generator output every step), so the
+        pool must be fed BEFORE the G+D update consumes its result."""
+        pred, _ = self._apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["sr_patch"], batch["ref_patches"], train=True)
+        return jax.lax.stop_gradient(pred)
+
+    @functools.partial(jax.jit, static_argnums=0)
     def gan_train_step(self, state: RefineState, d_state, batch, key,
                        pool_fakes=None):
         """One lsgan G+D update pair (reference backward_D/backward_G,
@@ -317,8 +329,8 @@ class RefineSystem:
         pool_fakes: optional history-mixed fake batch (ImagePool) the
         DISCRIMINATOR trains on instead of the current fakes — the
         pix2pix stabilization the reference's ``utils/image_pool.py``
-        provides. Returns (state, d_state, losses, fakes) where fakes
-        feed the engine-side pool."""
+        provides; the engine builds it from ``gan_fakes`` of the SAME
+        step. Returns (state, d_state, losses, fakes)."""
         del key
         gt = batch["gt_patch"]
 

@@ -22,7 +22,6 @@ jax.config.update("jax_platforms", "cpu")
 
 # persistent XLA compilation cache: the suite is compile-dominated on
 # this 1-core host; repeat runs reuse every compiled step/render program.
-_cache = os.path.expanduser("~/.cache/nerfsr_tpu/xla-tests")
-os.makedirs(_cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from nerfsr_tpu.utils.devbench import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(os.path.expanduser("~/.cache/nerfsr_tpu/xla-tests"))

@@ -134,11 +134,13 @@ class TestRefineGanPool:
                 rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1),
         }
         pool = ImagePool(pool_size=4, seed=0)
-        pool_fakes = None
         for _ in range(3):
-            state, d_state, losses, fakes = system.gan_train_step(
-                state, d_state, batch, jax.random.PRNGKey(2), pool_fakes)
+            # engine ordering (reference backward_D semantics): the pool
+            # is queried with THIS step's fakes before the G+D update
+            fakes = system.gan_fakes(state, batch)
             pool_fakes = jnp.asarray(pool.query(np.asarray(fakes)))
+            state, d_state, losses, _ = system.gan_train_step(
+                state, d_state, batch, jax.random.PRNGKey(2), pool_fakes)
         assert fakes.shape == (2, 32, 32, 3)
         assert len(pool.images) > 0
         for v in losses.values():

@@ -57,6 +57,22 @@ class TestTrainStepWithRef:
         assert all(np.isfinite(t) for t in tots)
         assert np.mean(tots[-5:]) < np.mean(tots[:5])
 
+    def test_with_ref_fast_sampling_no_coarse_level(self):
+        """--with_ref + --fast_sampling: render_rays_fast emits no
+        coarse level, so _ref_losses must supervise the fine level only
+        (regression: KeyError 'coarse_rgb' at jit trace)."""
+        opt = _tiny_opt(with_ref=True, downscale=2, fast_sampling=True,
+                        n_prop=8)
+        system = create_model(opt)
+        state = system.create_state(jax.random.PRNGKey(0),
+                                    steps_per_epoch=50)
+        state, losses = system.train_step_with_ref(
+            state, _ray_buffer(64, 0), _ray_buffer(32, 1),
+            jax.random.PRNGKey(2))
+        assert "ref_fine_mse" in losses
+        assert "ref_coarse_mse" not in losses
+        assert np.isfinite(float(losses["tot"]))
+
     def test_ref_loss_scaled_by_downscale_sq(self):
         """The ref mse enters at weight 1/ds^2 (reference :267-270)."""
         buffer = _ray_buffer(64, 0)
@@ -108,6 +124,25 @@ class TestTrainStepPatches:
         assert "coarse_depth_lap" in losses and "fine_depth_lap" in losses
         assert all(np.isfinite(t) for t in tots)
         assert np.mean(tots[-5:]) < np.mean(tots[:5])
+
+    def test_patches_fast_sampling_skips_coarse_lap(self):
+        """--fast_sampling patch mode: no coarse level, so only the
+        fine depth-laplacian term is emitted (regression: KeyError
+        'coarse_depth' at jit trace)."""
+        ps = 4
+        opt = _tiny_opt(batch_size=ps * ps * 2, patch_size=ps,
+                        fast_sampling=True, n_prop=8,
+                        lambda_coarse_depth_lap=1e-3,
+                        lambda_fine_depth_lap=1e-3)
+        system = create_model(opt)
+        state = system.create_state(jax.random.PRNGKey(0),
+                                    steps_per_epoch=5)
+        img_buffer = self._img_buffer(1, 8, 8)
+        state, losses = system.train_step_patches(
+            state, img_buffer, jax.random.PRNGKey(4), ps)
+        assert "coarse_depth_lap" not in losses
+        assert "fine_depth_lap" in losses
+        assert np.isfinite(float(losses["tot"]))
 
     def test_small_patch_skips_lap(self):
         """ps <= 2 must not emit depth-laplacian terms (reference gate

@@ -48,11 +48,8 @@ def main():
     import numpy as np
 
     if not os.environ.get("NERFSR_NO_COMPILE_CACHE"):
-        cache = os.path.expanduser("~/.cache/nerfsr_tpu/xla")
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+        from nerfsr_tpu.utils.devbench import enable_compile_cache
+        enable_compile_cache()
 
     from nerfsr_tpu.config import default_options
     from nerfsr_tpu.data import create_dataset

@@ -42,41 +42,21 @@ def timeit(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
-def _enable_compile_cache():
-    cache = os.path.expanduser("~/.cache/nerfsr_tpu/xla")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch_lr", type=int, default=512)
     args = ap.parse_args()
-    _enable_compile_cache()
 
     from nerfsr_tpu.config import default_options
     from nerfsr_tpu.models import create_model
+    from nerfsr_tpu.utils.devbench import (enable_compile_cache,
+                                           grouped_buffer)
+
+    enable_compile_cache()
 
     ds = 2
     n_rays = args.batch_lr * ds * ds  # 2048 HR rays
-
-    def grouped_buffer(n_lr, ds2, seed=0):
-        rng = np.random.RandomState(seed)
-        d = rng.randn(n_lr, ds2, 3).astype(np.float32)
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        return {
-            "origins": jnp.asarray(
-                rng.randn(n_lr, ds2, 3).astype(np.float32) * 0.1),
-            "directions": jnp.asarray(d),
-            "viewdirs": jnp.asarray(d),
-            "near": jnp.zeros((n_lr, ds2, 1), jnp.float32),
-            "far": jnp.ones((n_lr, ds2, 1), jnp.float32),
-            "rgbs": jnp.asarray(rng.rand(n_lr, 3).astype(np.float32)),
-            "rgbs_ori": jnp.asarray(
-                rng.rand(n_lr, ds2, 3).astype(np.float32)),
-        }
 
     buffer = grouped_buffer(1 << 16, ds * ds)
 
@@ -212,14 +192,16 @@ def main():
                   axis=-1)
     wf = jnp.asarray(rng.rand(n_rays, 64).astype(np.float32))
 
+    # roles: (z_fine, w_fine, z_prop, w_prop); the training gradient
+    # flows to w_prop only (w_fine is stop-gradient'ed inside the loss)
     @jax.jit
-    def inter(w):
-        return interlevel_loss(z0, w, zf, wf)
+    def inter(wp):
+        return interlevel_loss(zf, wf, z0, wp)
     results["interlevel_loss_fwd"] = timeit(inter, w, iters=args.iters)
 
     @jax.jit
-    def inter_grad(w):
-        return jax.grad(lambda ww: interlevel_loss(z0, ww, zf, wf))(w)
+    def inter_grad(wp):
+        return jax.grad(lambda ww: interlevel_loss(zf, wf, z0, ww))(wp)
     results["interlevel_loss_fwd+bwd"] = timeit(inter_grad, w,
                                                 iters=args.iters)
 
