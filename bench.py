@@ -88,22 +88,25 @@ def main():
     grouped = grouped_buffer(1 << 16, ds * ds)
 
     # PRIMARY: the flagship nerf_downX step with --fast_sampling
-    # --N_importance 32 --n_prop 96 (proposal-MLP importance sampling:
-    # half the big-MLP points, 1.5x the tiny proposal points).
+    # --N_importance 24 --n_prop 96 (proposal-MLP importance sampling:
+    # an eighth of the parity path's big-MLP points).
     # Quality-validated on the TEXTURED synthetic flagship scene
     # (tools/flagship_run.py --texture; the smooth-blob scene saturates
     # its data ceiling for every config and cannot discriminate).
-    # Full 30-epoch runs, val HR PSNR/SSIM, seeds 0+1: this config
-    # 37.87+36.91 / 0.947+0.936 vs parity 37.77+36.45 / 0.945+0.930 —
-    # matches-or-beats the parity path in BOTH seeds.
-    opt_fast32 = default_options(
+    # Full 30-epoch runs, val HR PSNR/SSIM, seeds 0+1, paired on the
+    # identical deterministic scene: this config 38.39+36.95 /
+    # 0.952+0.938 vs NI=32 37.87+36.91 / 0.947+0.936 vs parity
+    # 37.77+36.45 / 0.945+0.930 — matches-or-beats both in BOTH seeds.
+    # Neighbors bracket it: np64 fails seed1 (36.84), np128 drops seed0
+    # to 38.21, NI=16 fails seed1 (36.87).
+    opt_fast24 = default_options(
         "train", model="nerf_downX", dataset_mode="llff_downX",
-        batch_size=batch_lr, N_coarse=64, N_importance=32, n_prop=96,
+        batch_size=batch_lr, N_coarse=64, N_importance=24, n_prop=96,
         precision="mixed", white_bkgd=False, noise_std=1.0,
         downscale=ds, include_var=True, fast_sampling=True,
         img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
-    dt_fast32 = _bench_system(opt_fast32, grouped, n_steps)
-    fast32_rays_per_sec = n_steps * n_hr_rays / dt_fast32
+    dt_fast24 = _bench_system(opt_fast24, grouped, n_steps)
+    fast24_rays_per_sec = n_steps * n_hr_rays / dt_fast24
 
     # SECONDARY: --fast_sampling at the reference's sample count
     # (N_importance 64). Textured 30-epoch quality: 37.90+36.53 /
@@ -129,17 +132,17 @@ def main():
     # ALSO: eval render throughput at flagship image size (504x378 =
     # 190512 HR rays; feeds the test/warp/refine pipeline stages).
     n_lr_img = (504 * 378) // (ds * ds)
-    dt_eval = _bench_eval(opt_fast32, n_lr_img, ds * ds)
+    dt_eval = _bench_eval(opt_fast24, n_lr_img, ds * ds)
     eval_rays_per_sec = n_lr_img * ds * ds / dt_eval
 
     print(json.dumps({
         "metric": "train rays/sec/chip (LLFF x2 SS flagship step, "
-                  "--fast_sampling --N_importance 32 --n_prop 96, "
+                  "--fast_sampling --N_importance 24 --n_prop 96, "
                   "matches-or-beats parity PSNR/SSIM both seeds)",
-        "value": round(fast32_rays_per_sec, 1),
+        "value": round(fast24_rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(
-            fast32_rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
+            fast24_rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
         "fast64_rays_per_sec": round(fast_rays_per_sec, 1),
         "parity_path_rays_per_sec": round(parity_rays_per_sec, 1),
         "eval_render_rays_per_sec": round(eval_rays_per_sec, 1),

@@ -68,6 +68,28 @@ class TestEngineTrain:
         state = train(opt)
         assert int(state.step) == 6
 
+    def test_zero_cadence_flags_do_not_crash(self, blender_scene,
+                                             tmp_path):
+        """--val_epoch_freq 0 / --save_epoch_freq 0 / --print_freq 0
+        disable their cadences instead of dividing by zero
+        (regression: ZeroDivisionError at the epoch-val gate)."""
+        from nerfsr_tpu.engine import train
+
+        opt = default_options(
+            "train", model="nerf", dataset_mode="blender",
+            dataset_root=blender_scene, img_wh=(16, 16), batch_size=32,
+            N_coarse=4, N_importance=4, D=2, W=16, deg_pos=2, deg_dir=1,
+            precision="f32", n_epochs=1, n_epochs_decay=0,
+            steps_per_epoch=2, log_every=0, print_freq=0,
+            save_epoch_freq=0, val_epoch_freq=0, vis_epoch_freq=0,
+            checkpoints_dir=str(tmp_path / "ck"),
+            summary_dir=str(tmp_path / "runs"), name="zerofreq")
+        state = train(opt)
+        assert int(state.step) == 2
+        # final-epoch checkpoint still written even with freq 0
+        assert os.path.exists(tmp_path / "ck" / "zerofreq" /
+                              "latest_state.msgpack")
+
 
 class TestSphericAndViewdir:
     def test_spheric_poses_bounds_and_path(self, llff_scene):
