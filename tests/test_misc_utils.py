@@ -85,6 +85,47 @@ def test_scene_generator_golden_and_texture():
     assert g_t > 1.4 * g_s, (g_s, g_t)
 
 
+def test_scene_generator_clutter_occludes():
+    """--clutter adds thin near-opaque rods IN FRONT of the blobs (depth
+    complexity: the blob-only scene has one soft surface per ray and
+    rewards degenerate N_importance; see CLAUDE.md quality notes). The
+    rods must change a meaningful fraction of pixels, and the LLFF
+    generator must emit COLMAP points ON the rods, else the dataset's
+    percentile near-bound clips them out of the sample range."""
+    from tools.make_synthetic_llff import nerf_pose
+    from tools.make_synthetic_scene import RODS, render_view
+
+    c2w = nerf_pose(np.array([0.0, 0.0, 4.0]), np.zeros(3))
+    tex = render_view(c2w, (64, 64), 1.125 * 64, near=2.0, far=6.5,
+                      texture=True, n_samples=160)
+    clut = render_view(c2w, (64, 64), 1.125 * 64, near=2.0, far=6.5,
+                       texture=True, clutter=True, n_samples=160)
+    changed = (np.abs(clut - tex).max(-1) > 0.1).mean()
+    assert 0.05 < changed < 0.8, changed
+    # rods sit in front of the blob cluster (z in [0.6, 2.2] looking
+    # from z=+4): their z range must not intersect the blob depths
+    ra, rb, rr, _ = RODS
+    assert float(min(ra[:, 2].min(), rb[:, 2].min())) > -0.5
+    assert float(rr.min()) >= 0.03
+
+
+def test_llff_generator_clutter_points_cover_rod_depths(tmp_path):
+    """COLMAP points3D include rod-surface points when clutter=True so
+    near/far percentile bounds (data/llff.py) span the occluders."""
+    from nerfsr_tpu.data.colmap import read_points3d_binary
+    from tools.make_synthetic_llff import make_llff_scene
+
+    scene = make_llff_scene(str(tmp_path / "s"), hw=(24, 32), n_imgs=2,
+                            texture=True, clutter=True)
+    pts = read_points3d_binary(
+        os.path.join(scene, "sparse/0/points3D.bin"))
+    xyz = np.array([p.xyz for p in
+                    (pts.values() if isinstance(pts, dict) else pts)])
+    # rods live at z in [0.6 - len, 2.2 + len]; blobs at |z| < 1 —
+    # points must reach in front of the blobs
+    assert float(xyz[:, 2].max()) > 1.0, xyz[:, 2].max()
+
+
 def test_llff_generator_focal_scales_with_width(tmp_path):
     """make_llff_scene writes a width-proportional focal (53-degree FOV
     at every size; the old fixed 45.0 framed full-size scenes as a dot)

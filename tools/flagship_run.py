@@ -41,6 +41,11 @@ def main():
                    help="textured scene (config-discriminating; the "
                         "smooth-blob default saturates its data "
                         "ceiling for every config)")
+    p.add_argument("--clutter", action="store_true",
+                   help="add thin occluder rods (depth complexity; "
+                        "discriminates N_importance/n_prop — the "
+                        "blob-only scene rewards degenerate sample "
+                        "counts)")
     args = p.parse_args()
 
     import jax
@@ -57,14 +62,17 @@ def main():
     from nerfsr_tpu.models import create_model
 
     w, h = args.wh
-    scene = os.path.join(args.out_dir,
-                         "scene_tex" if args.texture else "scene")
+    scene = os.path.join(
+        args.out_dir,
+        ("scene_tex_clut" if args.clutter else "scene_tex")
+        if args.texture else
+        ("scene_clut" if args.clutter else "scene"))
     if not os.path.exists(os.path.join(scene, "sparse/0/cameras.bin")):
         print(f"[flagship] generating synthetic LLFF scene {w}x{h} "
-              f"(texture={args.texture})...")
+              f"(texture={args.texture} clutter={args.clutter})...")
         from tools.make_synthetic_llff import make_llff_scene
         make_llff_scene(scene, hw=(h, w), n_imgs=args.n_imgs,
-                        texture=args.texture)
+                        texture=args.texture, clutter=args.clutter)
 
     opt = default_options(
         "train", model="nerf_downX", dataset_mode="llff_downX",

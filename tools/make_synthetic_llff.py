@@ -36,7 +36,7 @@ def nerf_pose(eye, target):
 
 
 def make_llff_scene(out_dir, hw=(40, 40), n_imgs=6, seed=0,
-                    texture=False):
+                    texture=False, clutter=False):
     from PIL import Image
 
     rng = np.random.RandomState(seed)
@@ -66,9 +66,22 @@ def make_llff_scene(out_dir, hw=(40, 40), n_imgs=6, seed=0,
             4.0 + rng.randn() * 0.1])
         c2w = nerf_pose(eye, np.zeros(3))
         poses.append(c2w)
-        img = render_view(c2w, hw, focal, near=2.0, far=6.5,
-                          texture=texture,
-                          n_samples=256 if texture else 96)
+        # clutter rods are thin (radius >= 0.035 world units): step the
+        # generator's own quadrature down to ~0.014 so they are resolved
+        rv = render_view
+        if h * w >= 128 * 128:
+            # full-size generation is ~8 min/image in numpy on this
+            # 1-core host; the jitted twin renders it in seconds
+            # (tiny test scenes keep numpy — not worth a compile)
+            try:
+                from tools.make_synthetic_scene import render_view_jax
+                rv = render_view_jax
+            except Exception:
+                pass
+        img = rv(c2w, hw, focal, near=2.0, far=6.5,
+                 texture=texture, clutter=clutter,
+                 n_samples=320 if clutter else
+                 (256 if texture else 96))
         name = f"img_{i:03d}.png"
         Image.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(out_dir, "images", name))
@@ -92,6 +105,22 @@ def make_llff_scene(out_dir, hw=(40, 40), n_imgs=6, seed=0,
                 np.arange(1, n_imgs + 1, dtype=np.int32),
                 np.zeros(n_imgs, np.int32)))
             pid += 1
+    if clutter:
+        # rod-surface points too: the LLFF near/far bounds are depth
+        # PERCENTILES of these points (data/llff.py), and the rods sit
+        # well in FRONT of the blobs — without points on them the near
+        # plane would clip the rods out of every ray's sample range.
+        from tools.make_synthetic_scene import RODS
+        ra, rb, rr, rcol = RODS
+        for k in range(len(rr)):
+            for _ in range(12):
+                xyz = (ra[k] + rng.rand() * (rb[k] - ra[k])
+                       + rng.randn(3) * rr[k] * 0.5)
+                pts.append(Point3D(
+                    pid, xyz, (rcol[k] * 255).astype(np.uint8), 0.1,
+                    np.arange(1, n_imgs + 1, dtype=np.int32),
+                    np.zeros(n_imgs, np.int32)))
+                pid += 1
     write_images_binary(images, os.path.join(sparse, "images.bin"))
     write_points3d_binary(pts, os.path.join(sparse, "points3D.bin"))
     return out_dir
@@ -107,7 +136,10 @@ if __name__ == "__main__":
     p.add_argument("--texture", action="store_true",
                    help="high-frequency procedural albedo (needed for "
                         "config-discriminating quality comparisons)")
+    p.add_argument("--clutter", action="store_true",
+                   help="thin near-opaque occluder rods (depth "
+                        "complexity; discriminates sample counts)")
     args = p.parse_args()
     make_llff_scene(args.out_dir, tuple(args.hw), args.n_imgs,
-                    texture=args.texture)
+                    texture=args.texture, clutter=args.clutter)
     print(f"llff scene written to {args.out_dir}")

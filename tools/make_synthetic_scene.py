@@ -22,7 +22,36 @@ BLOBS = [  # (center, radius, color, peak density)
 ]
 
 
-def field(pts, texture=False):
+def _make_rods(n=14, seed=7):
+    """Deterministic thin near-opaque capsules scattered in front of /
+    between the blobs: occluders with REAL depth complexity. The smooth
+    gaussian blobs have essentially one soft surface per ray, which is
+    why degenerate big-MLP sample counts (N_importance 8) can look
+    BETTER there than realistic ones — thin structures at distinct
+    depths restore the sampling difficulty real LLFF scenes (foliage,
+    railings) have. Radii 0.03-0.06 world units = ~4-9 HR px at the
+    504px forward-facing rig."""
+    rng = np.random.RandomState(seed)
+    a, b, r, col = [], [], [], []
+    for _ in range(n):
+        c = np.array([rng.uniform(-1.1, 1.1), rng.uniform(-0.9, 0.9),
+                      rng.uniform(0.6, 2.2)])
+        d = rng.randn(3)
+        d /= np.linalg.norm(d)
+        half = rng.uniform(0.4, 0.8)
+        a.append(c - d * half)
+        b.append(c + d * half)
+        r.append(rng.uniform(0.035, 0.06))
+        col.append(rng.uniform(0.1, 1.0, 3))
+    return (np.array(a, np.float32), np.array(b, np.float32),
+            np.array(r, np.float32), np.array(col, np.float32))
+
+
+RODS = _make_rods()
+ROD_PEAK = 80.0
+
+
+def field(pts, texture=False, clutter=False):
     """Analytic sigma/rgb at world points (N, 3).
 
     ``texture=True`` multiplies each blob's albedo by a multi-frequency
@@ -59,8 +88,126 @@ def field(pts, texture=False):
         blob_col = col * tex if texture else col
         rgb += s[..., None] * blob_col
         sigma += s
+    if clutter:
+        ra, rb, rr, rcol = RODS
+        # one rod at a time: the broadcast (..., R, 3) formulation costs
+        # GB-scale temporaries at generator sizes (85M pts x 14 rods)
+        # and swaps this 1-core host; per-rod temps are (..., 3).
+        for k in range(len(rr)):
+            ab = rb[k] - ra[k]
+            inv = 1.0 / float(ab @ ab)
+            # elementwise dot (BLAS matvec here costs more in thread
+            # scheduling than the flops on this 1-core host)
+            t = np.clip(
+                ((pts[..., 0] - ra[k][0]) * (ab[0] * inv)
+                 + (pts[..., 1] - ra[k][1]) * (ab[1] * inv)
+                 + (pts[..., 2] - ra[k][2]) * (ab[2] * inv)),
+                0.0, 1.0)
+            d2 = ((pts[..., 0] - (ra[k][0] + t * ab[0])) ** 2
+                  + (pts[..., 1] - (ra[k][1] + t * ab[1])) ** 2
+                  + (pts[..., 2] - (ra[k][2] + t * ab[2])) ** 2)
+            # quartic falloff: near-hard wall at the capsule radius
+            s = ROD_PEAK * np.exp(
+                -(d2 / float(rr[k] * rr[k])) ** 2).astype(np.float32)
+            rgb += s[..., None] * rcol[k]
+            sigma += s
     rgb = rgb / np.maximum(sigma[..., None], 1e-8)
     return np.clip(sigma, 0, None), np.clip(rgb, 0.0, 1.0)
+
+
+def _field_jax(pts, texture: bool, clutter: bool):
+    """jax.numpy twin of ``field`` (same constants, same math) — the
+    analytic field is embarrassingly parallel, and this 1-core host
+    takes ~8 min/image to evaluate it in numpy (sys-time bound on temp
+    allocation) vs seconds on the TPU. Outputs match numpy to float32
+    roundoff; generated scenes are cached as uint8 PNGs either way."""
+    import jax.numpy as jnp
+
+    sigma = jnp.zeros(pts.shape[:-1], jnp.float32)
+    rgb = jnp.zeros(pts.shape, jnp.float32)
+    if texture:
+        x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+        tex = (0.55
+               + 0.20 * jnp.sin(2 * jnp.pi * x / 0.10)
+               * jnp.sin(2 * jnp.pi * y / 0.081)
+               + 0.15 * jnp.sin(2 * jnp.pi * (x + y) / 0.061)
+               * jnp.sin(2 * jnp.pi * z / 0.43)
+               + 0.15 * jnp.sin(2 * jnp.pi * x / 0.025)
+               * jnp.sin(2 * jnp.pi * y / 0.0253))
+        tex = jnp.clip(tex, 0.05, 1.0)[..., None]
+    for c, r, col, peak in BLOBS:
+        d2 = jnp.sum((pts - c) ** 2, -1)
+        s = peak * jnp.exp(-d2 / (2 * (r / 2) ** 2))
+        blob_col = jnp.asarray(col, jnp.float32) * tex if texture \
+            else jnp.asarray(col, jnp.float32)
+        rgb = rgb + s[..., None] * blob_col
+        sigma = sigma + s
+    if clutter:
+        ra, rb, rr, rcol = RODS
+        ab = rb - ra                                       # (R, 3)
+        inv_len2 = 1.0 / np.sum(ab * ab, -1)               # (R,)
+        t = jnp.clip(
+            jnp.einsum("...rc,rc->...r", pts[..., None, :] - ra,
+                       ab * inv_len2[:, None]), 0.0, 1.0)
+        closest = ra + t[..., None] * ab                   # (..., R, 3)
+        d2 = jnp.sum((pts[..., None, :] - closest) ** 2, -1)
+        s = ROD_PEAK * jnp.exp(-(d2 / (rr * rr)) ** 2)     # (..., R)
+        rgb = rgb + jnp.einsum("...r,rc->...c", s, rcol)
+        sigma = sigma + jnp.sum(s, -1)
+    rgb = rgb / jnp.maximum(sigma[..., None], 1e-8)
+    return jnp.clip(sigma, 0, None), jnp.clip(rgb, 0.0, 1.0)
+
+
+def render_view_jax(c2w, hw, focal, n_samples=96, near=2.0, far=6.0,
+                    texture=False, clutter=False):
+    """Device-accelerated twin of ``render_view`` (one jitted
+    row-chunked quadrature pass). Used by the generators when JAX is
+    importable; falls back to numpy otherwise."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    h, w = hw
+    i, j = np.meshgrid(np.arange(w, dtype=np.float32) + 0.5,
+                       np.arange(h, dtype=np.float32) + 0.5,
+                       indexing="xy")
+    dirs = np.stack([(i - w / 2) / focal, -(j - h / 2) / focal,
+                     -np.ones_like(i)], -1)
+    rd = dirs @ c2w[:, :3].T.astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    ro = np.broadcast_to(c2w[:, 3].astype(np.float32), rd.shape)
+    t = jnp.linspace(near, far, n_samples, dtype=jnp.float32)
+    delta = (far - near) / (n_samples - 1)
+
+    @functools.partial(jax.jit, static_argnames=("texture", "clutter"))
+    def rows(ro_c, rd_c, texture, clutter):
+        pts = ro_c[..., None, :] + t[..., None] * rd_c[..., None, :]
+        sigma, rgb = _field_jax(pts, texture, clutter)
+        alpha = 1 - jnp.exp(-sigma * delta)
+        trans = jnp.cumprod(1 - alpha + 1e-10, axis=-1)
+        trans = jnp.concatenate([jnp.ones_like(trans[..., :1]),
+                                 trans[..., :-1]], -1)
+        weights = alpha * trans
+        img = (weights[..., None] * rgb).sum(-2)
+        acc = weights.sum(-1)
+        return img + (1 - acc[..., None])  # white background
+
+    out_rows = []
+    rows_per_chunk = max(1, (1 << 23) // (w * n_samples))
+    pad_h = -(-h // rows_per_chunk) * rows_per_chunk
+    for r0 in range(0, pad_h, rows_per_chunk):
+        rd_c = np.zeros((rows_per_chunk, w, 3), np.float32)
+        ro_c = np.zeros((rows_per_chunk, w, 3), np.float32)
+        n = min(rows_per_chunk, h - r0)
+        if n <= 0:
+            break
+        rd_c[:n] = rd[r0:r0 + n]
+        ro_c[:n] = ro[r0:r0 + n]
+        img = np.asarray(rows(jnp.asarray(ro_c), jnp.asarray(rd_c),
+                              texture, clutter))
+        out_rows.append(img[:n])
+    return np.clip(np.concatenate(out_rows, axis=0), 0, 1)
 
 
 def look_at_pose(eye):
@@ -75,7 +222,7 @@ def look_at_pose(eye):
 
 
 def render_view(c2w, hw, focal, n_samples=96, near=2.0, far=6.0,
-                texture=False):
+                texture=False, clutter=False):
     h, w = hw
     i, j = np.meshgrid(np.arange(w, dtype=np.float32) + 0.5,
                        np.arange(h, dtype=np.float32) + 0.5,
@@ -95,7 +242,7 @@ def render_view(c2w, hw, focal, n_samples=96, near=2.0, far=6.0,
         rd_c = rd[r0:r0 + rows_per_chunk]
         ro_c = ro[r0:r0 + rows_per_chunk]
         pts = ro_c[..., None, :] + t[..., None] * rd_c[..., None, :]
-        sigma, rgb = field(pts, texture=texture)
+        sigma, rgb = field(pts, texture=texture, clutter=clutter)
         alpha = 1 - np.exp(-sigma * delta)
         trans = np.cumprod(1 - alpha + 1e-10, axis=-1)
         trans = np.concatenate([np.ones_like(trans[..., :1]),
