@@ -276,6 +276,15 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                         "coarse+fine path is untouched when off")
     p.add_argument("--n_prop", type=int, default=64,
                    help="proposal samples per ray (--fast_sampling)")
+    p.add_argument("--n_prop_levels", type=int, default=1,
+                   help="proposal rounds (--fast_sampling): 2 = "
+                        "mip-NeRF-360-style second resampled round "
+                        "(better thin-structure placement at the same "
+                        "prop cost when n_prop + n_prop2 matches the "
+                        "single-round budget)")
+    p.add_argument("--n_prop2", type=int, default=32,
+                   help="second-round proposal samples per ray "
+                        "(--n_prop_levels 2)")
     p.add_argument("--prop_D", type=int, default=4,
                    help="proposal MLP depth (--fast_sampling)")
     p.add_argument("--prop_W", type=int, default=64,

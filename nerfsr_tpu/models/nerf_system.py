@@ -74,6 +74,8 @@ class NeRFSystem:
             n_prop=getattr(opt, "n_prop", 64),
             deg_prop=getattr(opt, "deg_prop", 6),
             uniform_frac=getattr(opt, "fast_uniform_frac", 0.0),
+            n_prop_levels=getattr(opt, "n_prop_levels", 1),
+            n_prop2=getattr(opt, "n_prop2", 32),
         )
         self.prop_mlp = None
         if self.render_cfg.fast_sampling:
@@ -258,6 +260,12 @@ class NeRFSystem:
         from nerfsr_tpu.models.criterions import interlevel_loss
         il = interlevel_loss(out["fine_z"], out["fine_weights"],
                              out["prop_z"], out["prop_weights"])
+        lvl = 0  # earlier rounds of --n_prop_levels 2 supervise too
+        while f"prop{lvl}_z" in out:
+            il = il + interlevel_loss(
+                out["fine_z"], out["fine_weights"],
+                out[f"prop{lvl}_z"], out[f"prop{lvl}_weights"])
+            lvl += 1
         losses["interlevel"] = il
         return loss_tot + il * getattr(self.opt, "lambda_interlevel", 1.0)
 

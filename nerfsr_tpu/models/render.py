@@ -52,6 +52,8 @@ class RenderConfig:
     n_prop: int = 64               # --n_prop proposal samples
     deg_prop: int = 6              # --deg_prop proposal posenc degree
     uniform_frac: float = 0.0      # --fast_uniform_frac defensive mix
+    n_prop_levels: int = 1         # --n_prop_levels proposal rounds
+    n_prop2: int = 32              # --n_prop2 second-round samples
 
 
 def _eval_level(mlp, params, rays: Rays, points, z_vals, dir_emb,
@@ -122,14 +124,32 @@ def render_rays_fast(mlp, prop_mlp, params, rays: Rays,
         dir_emb = positional_encoding(
             rays.viewdirs, cfg.deg_dir, cfg.include_identity, cfg.log_scale)
 
-    # 1) proposal level: stratified samples -> tiny MLP -> weights.
+    # 1) proposal level(s): stratified uniform depths -> tiny MLP ->
+    # weights; each FURTHER level (--n_prop_levels 2) inverse-CDF
+    # resamples n_prop2 depths from the previous histogram and re-runs
+    # the SAME shared prop MLP (mip-NeRF 360 runs its proposal stage
+    # twice, arXiv 2111.12077 §3 — the second round concentrates depth
+    # resolution where the first found mass, which thin occluders need;
+    # sharing one prop param set keeps the checkpoint surface fixed).
     z_prop, pts = sample_along_rays(
         k_prop, rays.origins, rays.directions, rays.near, rays.far,
         cfg.n_prop, randomized, cfg.lindisp)
-    prop_emb = positional_encoding(
-        pts, cfg.deg_prop, cfg.include_identity, cfg.log_scale)
-    sigma_prop = prop_mlp.apply(params["prop"], prop_emb)
-    w_prop = compute_weights(sigma_prop, z_prop, cfg.sigma_activation)
+    prop_hists = []
+    for lvl in range(max(1, cfg.n_prop_levels)):
+        if lvl > 0:
+            z_prev, w_prev = prop_hists[-1]
+            bins_l = 0.5 * (z_prev[..., :-1] + z_prev[..., 1:])
+            z_prop = sample_pdf_stratified(
+                jax.random.fold_in(k_prop, lvl), bins_l,
+                jax.lax.stop_gradient(w_prev[..., 1:-1]),
+                cfg.n_prop2, randomized)
+            pts = cast_rays(rays.origins, rays.directions, z_prop)
+        prop_emb = positional_encoding(
+            pts, cfg.deg_prop, cfg.include_identity, cfg.log_scale)
+        sigma_prop = prop_mlp.apply(params["prop"], prop_emb)
+        w_prop = compute_weights(sigma_prop, z_prop,
+                                 cfg.sigma_activation)
+        prop_hists.append((z_prop, w_prop))
 
     # 2) inverse-CDF resample from the proposal histogram (no merge with
     # the proposal depths — the whole point is fewer big-MLP samples),
@@ -159,7 +179,7 @@ def render_rays_fast(mlp, prop_mlp, params, rays: Rays,
     f_rgb, f_depth, f_opacity, f_weights = _eval_level(
         mlp, params["fine"], rays, points, z_fine, dir_emb, k_noise,
         cfg, randomized)
-    return {
+    out = {
         "fine_rgb": f_rgb,
         "fine_depth": f_depth,
         "fine_opacity": f_opacity,
@@ -168,6 +188,12 @@ def render_rays_fast(mlp, prop_mlp, params, rays: Rays,
         "prop_weights": w_prop,
         "fine_z": z_fine,
     }
+    # earlier proposal rounds feed their own interlevel terms
+    # (each level must upper-bound the fine histogram)
+    for i, (z_i, w_i) in enumerate(prop_hists[:-1]):
+        out[f"prop{i}_z"] = z_i
+        out[f"prop{i}_weights"] = w_i
+    return out
 
 
 def render_rays(mlp, params_coarse, params_fine, rays: Rays,

@@ -215,3 +215,68 @@ class TestFastDownXEval:
                                   depth_bounds=(0.0, 1.0))
         names = {v.name for v in vis}
         assert "0-fine-ori" in names and "0-fine-depth-ori" in names
+
+
+class TestTwoLevelProposals:
+    """--n_prop_levels 2: a second proposal round resampled from the
+    first (mip-NeRF 360 §3 runs its proposal stage twice); the shared
+    prop MLP is evaluated at both rounds and every round gets its own
+    interlevel term."""
+
+    def test_output_structure_and_bounds(self):
+        opt = _fast_opt(n_prop_levels=2, n_prop2=8)
+        system = create_model(opt)
+        assert system.render_cfg.n_prop_levels == 2
+        params = system.init_params(jax.random.PRNGKey(0))
+        assert set(params.keys()) == {"prop", "fine"}  # shared prop MLP
+        batch = _ray_batch(8)
+        out = system.render(params, system._batch_to_rays(batch),
+                            jax.random.PRNGKey(1), randomized=True)
+        # final (= level 2) histogram has n_prop2 bins; round 0 kept
+        assert out["prop_weights"].shape == (8, opt.n_prop2)
+        assert out["prop0_weights"].shape == (8, opt.n_prop)
+        for k in ("prop_z", "prop0_z", "fine_z"):
+            z = np.asarray(out[k])
+            assert np.all(np.diff(z, axis=-1) >= 0), k
+            assert z.min() >= 0.0 and z.max() <= 1.0, k
+        assert out["fine_rgb"].shape == (8, 3)
+
+    def test_single_level_unchanged(self):
+        """Default n_prop_levels=1 must be bit-identical to the code
+        before the multi-round refactor (no prop0_* keys, same z)."""
+        opt = _fast_opt()
+        system = create_model(opt)
+        params = system.init_params(jax.random.PRNGKey(0))
+        batch = _ray_batch(8)
+        out = system.render(params, system._batch_to_rays(batch),
+                            jax.random.PRNGKey(1), randomized=True)
+        assert "prop0_z" not in out
+        assert out["prop_weights"].shape == (8, opt.n_prop)
+
+    def test_loss_descends_both_interlevels(self):
+        opt = _fast_opt(n_prop_levels=2, n_prop2=8)
+        system = create_model(opt)
+        state = system.create_state(jax.random.PRNGKey(0),
+                                    steps_per_epoch=50)
+        buffer = _ray_batch(256)
+        key = jax.random.PRNGKey(1)
+        tots, ils = [], []
+        for _ in range(40):
+            state, losses = system.train_step_from_buffer(state, buffer,
+                                                          key)
+            tots.append(float(losses["tot"]))
+            ils.append(float(losses["interlevel"]))
+        assert all(np.isfinite(t) for t in tots)
+        assert np.mean(tots[-5:]) < np.mean(tots[:5])
+        assert np.mean(ils[-5:]) < np.mean(ils[:5])
+
+    def test_eval_render_path(self):
+        opt = _fast_opt(n_prop_levels=2, n_prop2=8, img_wh=(8, 8),
+                        ray_chunk=32)
+        system = create_model(opt)
+        params = system.init_params(jax.random.PRNGKey(0))
+        rays = {k: np.asarray(v) for k, v in _ray_batch(64).items()}
+        out = system.render_image(params, rays)
+        assert out["fine_rgb"].shape == (64, 3)
+        m = system.eval_metrics(out, {"rgbs": rays["rgbs"]})
+        assert np.isfinite(m["fine_psnr"]) and np.isfinite(m["fine_ssim"])

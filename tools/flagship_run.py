@@ -33,6 +33,8 @@ def main():
                         "big-MLP level)")
     p.add_argument("--n_prop", type=int, default=64,
                    help="proposal-MLP samples/ray (fast path)")
+    p.add_argument("--n_prop_levels", type=int, default=1)
+    p.add_argument("--n_prop2", type=int, default=32)
     p.add_argument("--fast_uniform_frac", type=float, default=0.0)
     p.add_argument("--W", type=int, default=256,
                    help="big-MLP width (capacity/speed experiments)")
@@ -80,12 +82,15 @@ def main():
         N_coarse=64, N_importance=args.N_importance, precision="mixed",
         white_bkgd=False, noise_std=1.0, include_var=True,
         fast_sampling=args.fast_sampling, n_prop=args.n_prop,
+        n_prop_levels=args.n_prop_levels, n_prop2=args.n_prop2,
         fast_uniform_frac=args.fast_uniform_frac, W=args.W,
         n_epochs=30, n_epochs_decay=10, lr=5e-4, lr_final=5e-6)
     system = create_model(opt)
     print(f"[flagship] cfg: fast={system.render_cfg.fast_sampling} "
           f"n_imp={system.render_cfg.n_importance} "
           f"n_prop={system.render_cfg.n_prop} "
+          f"levels={system.render_cfg.n_prop_levels} "
+          f"n_prop2={system.render_cfg.n_prop2} "
           f"unifrac={system.render_cfg.uniform_frac} seed={args.seed}")
     ds = create_dataset(opt, "train")
     t0 = time.time()
