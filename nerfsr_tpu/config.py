@@ -285,6 +285,11 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
     p.add_argument("--n_prop2", type=int, default=32,
                    help="second-round proposal samples per ray "
                         "(--n_prop_levels 2)")
+    p.add_argument("--prop_pad", type=float, default=0.01,
+                   help="uniform histogram floor added before each "
+                        "multi-round CDF resample (--n_prop_levels 2): "
+                        "keeps exploration mass everywhere so a round-1 "
+                        "false negative can still be corrected")
     p.add_argument("--prop_D", type=int, default=4,
                    help="proposal MLP depth (--fast_sampling)")
     p.add_argument("--prop_W", type=int, default=64,

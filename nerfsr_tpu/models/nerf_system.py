@@ -76,6 +76,7 @@ class NeRFSystem:
             uniform_frac=getattr(opt, "fast_uniform_frac", 0.0),
             n_prop_levels=getattr(opt, "n_prop_levels", 1),
             n_prop2=getattr(opt, "n_prop2", 32),
+            prop_pad=getattr(opt, "prop_pad", 0.01),
         )
         self.prop_mlp = None
         if self.render_cfg.fast_sampling:

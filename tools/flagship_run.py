@@ -35,6 +35,7 @@ def main():
                    help="proposal-MLP samples/ray (fast path)")
     p.add_argument("--n_prop_levels", type=int, default=1)
     p.add_argument("--n_prop2", type=int, default=32)
+    p.add_argument("--prop_pad", type=float, default=0.01)
     p.add_argument("--fast_uniform_frac", type=float, default=0.0)
     p.add_argument("--W", type=int, default=256,
                    help="big-MLP width (capacity/speed experiments)")
@@ -83,6 +84,7 @@ def main():
         white_bkgd=False, noise_std=1.0, include_var=True,
         fast_sampling=args.fast_sampling, n_prop=args.n_prop,
         n_prop_levels=args.n_prop_levels, n_prop2=args.n_prop2,
+        prop_pad=args.prop_pad,
         fast_uniform_frac=args.fast_uniform_frac, W=args.W,
         n_epochs=30, n_epochs_decay=10, lr=5e-4, lr_final=5e-6)
     system = create_model(opt)
