@@ -270,6 +270,36 @@ class TestTwoLevelProposals:
         assert np.mean(tots[-5:]) < np.mean(tots[:5])
         assert np.mean(ils[-5:]) < np.mean(ils[:5])
 
+    def test_prop_pad_wired_and_lv1_invariant(self):
+        """--prop_pad (uniform histogram floor before each multi-round
+        CDF inversion) must (a) change the lv2 sample placement — it is
+        the anti-death-spiral exploration mass — and (b) leave the
+        single-round path bit-identical, since unpadded single-round
+        sampling never spirals (the fine level still covers the whole
+        proposal histogram support)."""
+        batch = _ray_batch(8)
+        key = jax.random.PRNGKey(1)
+
+        def fine_z(**kw):
+            opt = _fast_opt(**kw)
+            system = create_model(opt)
+            params = system.init_params(jax.random.PRNGKey(0))
+            out = system.render(params, system._batch_to_rays(batch),
+                                key, randomized=True)
+            return np.asarray(out["fine_z"])
+
+        z_pad = fine_z(n_prop_levels=2, n_prop2=8)          # default 0.01
+        z_nopad = fine_z(n_prop_levels=2, n_prop2=8, prop_pad=0.0)
+        assert not np.allclose(z_pad, z_nopad)
+        # a huge pad swamps the learned histogram -> near-uniform
+        # coverage of [near, far] even at init
+        z_big = fine_z(n_prop_levels=2, n_prop2=8, prop_pad=1e6)
+        assert z_big.max() > 0.8 and z_big.min() < 0.2
+        # single-round path ignores prop_pad entirely
+        z1 = fine_z(prop_pad=0.0)
+        z2 = fine_z(prop_pad=123.0)
+        np.testing.assert_array_equal(z1, z2)
+
     def test_eval_render_path(self):
         opt = _fast_opt(n_prop_levels=2, n_prop2=8, img_wh=(8, 8),
                         ray_chunk=32)

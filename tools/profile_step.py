@@ -46,6 +46,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch_lr", type=int, default=512)
+    ap.add_argument("--N_importance", type=int, default=64,
+                    help="fast-path big-MLP samples (third profiled "
+                         "config when != 64 or levels > 1)")
+    ap.add_argument("--n_prop", type=int, default=64)
+    ap.add_argument("--n_prop_levels", type=int, default=1)
+    ap.add_argument("--n_prop2", type=int, default=32)
     args = ap.parse_args()
 
     from nerfsr_tpu.config import default_options
@@ -61,7 +67,15 @@ def main():
     buffer = grouped_buffer(1 << 16, ds * ds)
 
     results = {}
-    for name, extra in (("parity", {}), ("fast", dict(fast_sampling=True))):
+    configs = [("parity", {}), ("fast", dict(fast_sampling=True))]
+    if (args.N_importance, args.n_prop_levels) != (64, 1):
+        configs.append((
+            f"fast{args.N_importance}"
+            f"{'lv' + str(args.n_prop_levels) if args.n_prop_levels > 1 else ''}",
+            dict(fast_sampling=True, N_importance=args.N_importance,
+                 n_prop=args.n_prop, n_prop_levels=args.n_prop_levels,
+                 n_prop2=args.n_prop2)))
+    for name, extra in configs:
         opt = default_options(
             "train", model="nerf_downX", dataset_mode="llff_downX",
             batch_size=args.batch_lr, N_coarse=64, N_importance=64,
