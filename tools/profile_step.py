@@ -76,12 +76,14 @@ def main():
                  n_prop=args.n_prop, n_prop_levels=args.n_prop_levels,
                  n_prop2=args.n_prop2)))
     for name, extra in configs:
-        opt = default_options(
-            "train", model="nerf_downX", dataset_mode="llff_downX",
+        kwargs = dict(
+            model="nerf_downX", dataset_mode="llff_downX",
             batch_size=args.batch_lr, N_coarse=64, N_importance=64,
             precision="mixed", white_bkgd=False, noise_std=1.0,
-            downscale=ds, include_var=True, n_epochs=30, n_epochs_decay=10,
-            **extra)
+            downscale=ds, include_var=True, n_epochs=30,
+            n_epochs_decay=10)
+        kwargs.update(extra)
+        opt = default_options("train", **kwargs)
         system = create_model(opt)
         state = system.create_state(jax.random.PRNGKey(0),
                                     steps_per_epoch=2000)
