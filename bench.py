@@ -8,8 +8,8 @@ points/ray, two networks), subpixel-mean LR loss, mixed bf16,
 per-step compute effect).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"fast64_rays_per_sec", "parity_path_rays_per_sec",
-"eval_render_rays_per_sec"}.
+"fast16_maxspeed_rays_per_sec", "fast64_rays_per_sec",
+"parity_path_rays_per_sec", "eval_render_rays_per_sec"}.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md), so
 vs_baseline divides by a documented ESTIMATE of the reference's per-GPU
@@ -69,10 +69,14 @@ def _bench_eval(opt, n_lr, ds2):
     spec = {"c2w": np.eye(3, 4, dtype=np.float32),
             "geom": ("world", 0.0, 1.0)}
     out = system.render_pose(state.params, spec, dirs)  # compile+upload
-    t0 = time.perf_counter()
-    out = system.render_pose(state.params, spec, dirs)
-    assert float(out["fine_rgb"].sum()) == float(out["fine_rgb"].sum())
-    return time.perf_counter() - t0
+    times = []
+    for _ in range(3):  # median-of-3: the tunnel adds multi-100ms
+        t0 = time.perf_counter()  # jitter to single-shot timings
+        out = system.render_pose(state.params, spec, dirs)
+        assert float(out["fine_rgb"].sum()) == float(
+            out["fine_rgb"].sum())
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[1]
 
 
 def main():
@@ -114,6 +118,23 @@ def main():
     dt_fast24 = _bench_system(opt_fast24, grouped, n_steps)
     fast24_rays_per_sec = n_steps * n_hr_rays / dt_fast24
 
+    # MAX-SPEED point: NI=16 with the two-round proposal. Textured
+    # 30-epoch quality BEATS every other config in both seeds
+    # (38.75+37.82 / 0.956+0.946) but on the cluttered thin-occluder
+    # scene it is sample-starved: 36.24+36.23 vs parity 36.84+36.62
+    # (-0.4..-0.6 dB both seeds; np2=48 does not recover it — the
+    # deficit is the 16 fine samples, not the proposal CDF; NI=20 is
+    # still -0.43). Reported as a secondary line, not the primary.
+    opt_fast16 = default_options(
+        "train", model="nerf_downX", dataset_mode="llff_downX",
+        batch_size=batch_lr, N_coarse=64, N_importance=16, n_prop=64,
+        n_prop_levels=2, n_prop2=32,
+        precision="mixed", white_bkgd=False, noise_std=1.0,
+        downscale=ds, include_var=True, fast_sampling=True,
+        img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
+    dt_fast16 = _bench_system(opt_fast16, grouped, n_steps)
+    fast16_rays_per_sec = n_steps * n_hr_rays / dt_fast16
+
     # SECONDARY: --fast_sampling at the reference's sample count
     # (N_importance 64). Textured 30-epoch quality: 37.90+36.53 /
     # 0.946+0.931 across seeds — also >= parity.
@@ -150,6 +171,7 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(
             fast24_rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
+        "fast16_maxspeed_rays_per_sec": round(fast16_rays_per_sec, 1),
         "fast64_rays_per_sec": round(fast_rays_per_sec, 1),
         "parity_path_rays_per_sec": round(parity_rays_per_sec, 1),
         "eval_render_rays_per_sec": round(eval_rays_per_sec, 1),
