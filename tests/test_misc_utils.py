@@ -102,11 +102,44 @@ def test_scene_generator_clutter_occludes():
                        texture=True, clutter=True, n_samples=160)
     changed = (np.abs(clut - tex).max(-1) > 0.1).mean()
     assert 0.05 < changed < 0.8, changed
-    # rods sit in front of the blob cluster (z in [0.6, 2.2] looking
+    # rods sit in front of the blob cluster (z up to 1.4 - 2r, looking
     # from z=+4): their z range must not intersect the blob depths
     ra, rb, rr, _ = RODS
     assert float(min(ra[:, 2].min(), rb[:, 2].min())) > -0.5
     assert float(rr.min()) >= 0.03
+
+
+def test_clutter_rods_clear_near_plane():
+    """No rod surface may cross the render quadrature's near plane: the
+    LLFF rig's cameras sit at world z ~ 4.0+-0.1 and quadrature starts
+    at ray distance 2.0, so rod content above z ~ 1.7 would be clipped
+    in some views and rendered in others — view-INCONSISTENT training
+    images exactly on the occluders the cluttered benchmark exists to
+    measure (tools/make_synthetic_scene.py:_make_rods)."""
+    from tools.make_synthetic_scene import RODS
+
+    ra, rb, rr, _ = RODS
+    surf_z = np.maximum(ra[:, 2], rb[:, 2]) + 2 * rr  # quartic falloff
+    # worst-case camera: eye z = 3.7 (-3 sigma), near = 2.0
+    assert float(surf_z.max()) <= 3.7 - 2.0 - 0.2, surf_z.max()
+
+
+def test_render_view_jax_matches_numpy():
+    """The jax twin of render_view generates every full-size benchmark
+    scene; any drift in its duplicated field/compositing math would
+    silently change the benchmark while the numpy-path tests stay
+    green. Compare the twins pixelwise at a small size (all features
+    on: texture + clutter)."""
+    from tools.make_synthetic_llff import nerf_pose
+    from tools.make_synthetic_scene import render_view, render_view_jax
+
+    c2w = nerf_pose(np.array([0.3, -0.2, 4.0]), np.zeros(3))
+    kw = dict(near=2.0, far=6.5, texture=True, clutter=True,
+              n_samples=64)
+    a = render_view(c2w, (32, 40), 1.125 * 40, **kw)
+    b = render_view_jax(c2w, (32, 40), 1.125 * 40, **kw)
+    assert a.shape == b.shape
+    assert float(np.abs(a - b).max()) < 5e-3, np.abs(a - b).max()
 
 
 def test_llff_generator_clutter_points_cover_rod_depths(tmp_path):

@@ -30,7 +30,16 @@ def _make_rods(n=14, seed=7):
     BETTER there than realistic ones — thin structures at distinct
     depths restore the sampling difficulty real LLFF scenes (foliage,
     railings) have. Radii 0.03-0.06 world units = ~4-9 HR px at the
-    504px forward-facing rig."""
+    504px forward-facing rig.
+
+    Every rod is kept BEHIND the render quadrature's near plane: the
+    LLFF rig's cameras sit at world z ~ 4.0+-0.1 (+-3 sigma ~ 3.7) and
+    quadrature starts at ray distance near=2.0, so any rod surface
+    above z ~ 1.7 would be silently clipped in SOME views but rendered
+    in others — view-inconsistent supervision exactly on the thin
+    occluders this scene exists to test. Endpoint z is clamped to
+    1.4 - 2r (quartic falloff reaches ~0 by 2r), giving >= 0.24 world
+    units of margin past the near plane for all cameras."""
     rng = np.random.RandomState(seed)
     a, b, r, col = [], [], [], []
     for _ in range(n):
@@ -39,9 +48,14 @@ def _make_rods(n=14, seed=7):
         d = rng.randn(3)
         d /= np.linalg.norm(d)
         half = rng.uniform(0.4, 0.8)
-        a.append(c - d * half)
-        b.append(c + d * half)
-        r.append(rng.uniform(0.035, 0.06))
+        rad = rng.uniform(0.035, 0.06)
+        ai, bi = c - d * half, c + d * half
+        z_max = 1.4 - 2 * rad
+        ai[2] = min(ai[2], z_max)  # the segment between the clamped
+        bi[2] = min(bi[2], z_max)  # endpoints stays below z_max too
+        a.append(ai)
+        b.append(bi)
+        r.append(rad)
         col.append(rng.uniform(0.1, 1.0, 3))
     return (np.array(a, np.float32), np.array(b, np.float32),
             np.array(r, np.float32), np.array(col, np.float32))
@@ -158,25 +172,20 @@ def _field_jax(pts, texture: bool, clutter: bool):
     return jnp.clip(sigma, 0, None), jnp.clip(rgb, 0.0, 1.0)
 
 
-def render_view_jax(c2w, hw, focal, n_samples=96, near=2.0, far=6.0,
-                    texture=False, clutter=False):
-    """Device-accelerated twin of ``render_view`` (one jitted
-    row-chunked quadrature pass). Used by the generators when JAX is
-    importable; falls back to numpy otherwise."""
+def _rows_jit(n_samples, near, far):
+    """Module-level cache of the jitted row-chunk renderer: jax.jit's
+    executable cache is keyed on the function OBJECT, so a closure
+    defined inside render_view_jax would re-trace + recompile the
+    identical program once per image."""
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    h, w = hw
-    i, j = np.meshgrid(np.arange(w, dtype=np.float32) + 0.5,
-                       np.arange(h, dtype=np.float32) + 0.5,
-                       indexing="xy")
-    dirs = np.stack([(i - w / 2) / focal, -(j - h / 2) / focal,
-                     -np.ones_like(i)], -1)
-    rd = dirs @ c2w[:, :3].T.astype(np.float32)
-    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
-    ro = np.broadcast_to(c2w[:, 3].astype(np.float32), rd.shape)
+    key = (n_samples, float(near), float(far))
+    fn = _ROWS_CACHE.get(key)
+    if fn is not None:
+        return fn
     t = jnp.linspace(near, far, n_samples, dtype=jnp.float32)
     delta = (far - near) / (n_samples - 1)
 
@@ -192,6 +201,31 @@ def render_view_jax(c2w, hw, focal, n_samples=96, near=2.0, far=6.0,
         img = (weights[..., None] * rgb).sum(-2)
         acc = weights.sum(-1)
         return img + (1 - acc[..., None])  # white background
+
+    _ROWS_CACHE[key] = rows
+    return rows
+
+
+_ROWS_CACHE = {}
+
+
+def render_view_jax(c2w, hw, focal, n_samples=96, near=2.0, far=6.0,
+                    texture=False, clutter=False):
+    """Device-accelerated twin of ``render_view`` (one jitted
+    row-chunked quadrature pass). Used by the generators when JAX is
+    importable; falls back to numpy otherwise."""
+    import jax.numpy as jnp
+
+    h, w = hw
+    i, j = np.meshgrid(np.arange(w, dtype=np.float32) + 0.5,
+                       np.arange(h, dtype=np.float32) + 0.5,
+                       indexing="xy")
+    dirs = np.stack([(i - w / 2) / focal, -(j - h / 2) / focal,
+                     -np.ones_like(i)], -1)
+    rd = dirs @ c2w[:, :3].T.astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    ro = np.broadcast_to(c2w[:, 3].astype(np.float32), rd.shape)
+    rows = _rows_jit(n_samples, near, far)
 
     out_rows = []
     rows_per_chunk = max(1, (1 << 23) // (w * n_samples))

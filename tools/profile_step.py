@@ -47,8 +47,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch_lr", type=int, default=512)
     ap.add_argument("--N_importance", type=int, default=64,
-                    help="fast-path big-MLP samples (third profiled "
-                         "config when != 64 or levels > 1)")
+                    help="fast-path big-MLP samples (a third config is "
+                         "profiled when any of --N_importance/--n_prop/"
+                         "--n_prop_levels/--n_prop2 differs from its "
+                         "default)")
     ap.add_argument("--n_prop", type=int, default=64)
     ap.add_argument("--n_prop_levels", type=int, default=1)
     ap.add_argument("--n_prop2", type=int, default=32)
@@ -68,7 +70,8 @@ def main():
 
     results = {}
     configs = [("parity", {}), ("fast", dict(fast_sampling=True))]
-    if (args.N_importance, args.n_prop_levels) != (64, 1):
+    if (args.N_importance, args.n_prop,
+            args.n_prop_levels, args.n_prop2) != (64, 64, 1, 32):
         configs.append((
             f"fast{args.N_importance}"
             f"{'lv' + str(args.n_prop_levels) if args.n_prop_levels > 1 else ''}",
