@@ -169,8 +169,17 @@ def main():
                   "parity PSNR/SSIM both seeds)",
         "value": round(fast24_rays_per_sec, 1),
         "unit": "rays/s",
+        # vs_baseline divides by an ESTIMATE (the reference publishes
+        # no throughput; see module docstring). The measured,
+        # defensible speedup is vs_own_parity: this chip running the
+        # reference's exact coarse+fine sample counts.
         "vs_baseline": round(
             fast24_rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
+        "baseline_note": "vs_baseline uses an ESTIMATED reference "
+                         "throughput of 6000 rays/s (reference "
+                         "publishes none); vs_own_parity is measured",
+        "vs_own_parity": round(
+            fast24_rays_per_sec / parity_rays_per_sec, 2),
         "fast16_maxspeed_rays_per_sec": round(fast16_rays_per_sec, 1),
         "fast64_rays_per_sec": round(fast_rays_per_sec, 1),
         "parity_path_rays_per_sec": round(parity_rays_per_sec, 1),

@@ -145,6 +145,18 @@ class BlenderDataset:
             "rgbs": np.concatenate(rgbs).astype(np.float32),
         }
 
+    def image_buffer(self):
+        """Image-structured training rays (N_img, H, W, C) for patch-mode
+        training (--patch_size > 1). The patch losses are model-level in
+        the reference (``models/nerf_model.py:276-304``); this gives the
+        blender dataset the contiguous-pixel source they need."""
+        assert self.mode == "train"
+        w, h = self.img_wh
+        flat = self.ray_buffer()
+        n_img = len(next(iter(flat.values()))) // (h * w)
+        return {k: v.reshape(n_img, h, w, v.shape[-1])
+                for k, v in flat.items()}
+
     # -- evaluation --------------------------------------------------------
     def eval_raygen_spec(self, idx):
         """Pose + static geometry for device-side eval raygen (see

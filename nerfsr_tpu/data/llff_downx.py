@@ -174,6 +174,13 @@ class LLFFDownXDataset:
         flat["rgbs"] = img.reshape(-1, 3).astype(np.float32)
         return flat
 
+    def _usable_views(self):
+        """Training-view indices shared by the auxiliary samplers: the
+        val view joins the pool when ``--include_var`` keeps it in
+        training (consistent across patch_buffer and gan_patch)."""
+        return [i for i in range(len(self.image_paths))
+                if self.opt.include_var or i != self.val_idx]
+
     def patch_buffer(self, rng, n_patches):
         """Contiguous LR-patch ray bundles for TV regularization
         (``reg_patch`` split capability, reference :422-438): each item is
@@ -181,8 +188,7 @@ class LLFFDownXDataset:
         plen = self.opt.reg_patch_len
         wl, hl = self.img_wh[0] // self.ds, self.img_wh[1] // self.ds
         out = []
-        usable = [i for i in range(len(self.image_paths))
-                  if self.opt.include_var or i != self.val_idx]
+        usable = self._usable_views()
         for _ in range(n_patches):
             i = usable[rng.randint(len(usable))]
             rays = self._pose_rays_grouped(self.poses[i])
@@ -207,8 +213,7 @@ class LLFFDownXDataset:
         pl_lr = plen // self.ds
         w, h = self.img_wh
         wl, hl = w // self.ds, h // self.ds
-        usable = [i for i in range(len(self.image_paths))
-                  if i != self.val_idx]
+        usable = self._usable_views()
         i = usable[rng.randint(len(usable))]
         r0 = rng.randint(hl - pl_lr)
         c0 = rng.randint(wl - pl_lr)

@@ -250,20 +250,21 @@ class LLFFRefineDataset:
                 srs.append(sr_img[ys:ys + plen, xs:xs + plen])
                 if gt_img is not None:
                     gts.append(gt_img[ys:ys + plen, xs:xs + plen])
+                # first k valid correspondences within the patch,
+                # scanned column-major (x outer, y inner) like the
+                # reference's loop — vectorized: mask the tile's loc
+                # block and take the first k hits in that order.
+                block = locs[ys:ys + plen, xs:xs + plen]   # [y, x, 2]
+                flat = block.transpose(1, 0, 2).reshape(-1, 2)
+                valid = ((flat[:, 0] >= 0) & (flat[:, 0] < w)
+                         & (flat[:, 1] >= 0) & (flat[:, 1] < h))
+                hits = flat[valid][:k]
                 ref_patch = []
-                # first k valid correspondences within the patch
-                for m in range(xs, xs + plen):
-                    for n in range(ys, ys + plen):
-                        loc = locs[n, m]
-                        if 0 <= loc[0] < w and 0 <= loc[1] < h:
-                            rx = min(w - plen, int(loc[0]))
-                            ry = min(h - plen, int(loc[1]))
-                            ref_patch.append(
-                                self.ref_img[ry:ry + plen, rx:rx + plen])
-                            if len(ref_patch) >= k:
-                                break
-                    if len(ref_patch) >= k:
-                        break
+                for loc in hits:
+                    rx = min(w - plen, int(loc[0]))
+                    ry = min(h - plen, int(loc[1]))
+                    ref_patch.append(
+                        self.ref_img[ry:ry + plen, rx:rx + plen])
                 while len(ref_patch) < k:
                     ref_patch.append(sr_img[ys:ys + plen, xs:xs + plen])
                 refs.append(np.stack(ref_patch))

@@ -22,7 +22,9 @@ import numpy as np
 
 from nerfsr_tpu.data import create_dataset
 from nerfsr_tpu.models import create_model
-from nerfsr_tpu.parallel.mesh import init_distributed, is_master, make_mesh
+from nerfsr_tpu.parallel.mesh import (init_distributed, is_master,
+                                      make_mesh, mesh_spans_processes,
+                                      replicate, to_device_buffer)
 from nerfsr_tpu.utils import checkpoint as ckpt
 from nerfsr_tpu.utils.visualizer import (MetricsWriter, NullMetricsWriter,
                                          Visualizee, save_visuals)
@@ -106,20 +108,17 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                and hasattr(system, "train_step_with_ref")
                and not patch_mode)
     if patch_mode:
-        buffer = jax.tree_util.tree_map(
-            jnp.asarray, train_ds.image_buffer())
+        buffer = to_device_buffer(train_ds.image_buffer(), mesh)
     else:
-        buffer = jax.tree_util.tree_map(jnp.asarray, buffer_np)
+        buffer = to_device_buffer(buffer_np, mesh)
     ref_buffer = None
     if use_ref:
-        ref_buffer = jax.tree_util.tree_map(
-            jnp.asarray, train_ds.ref_buffer())
+        ref_buffer = to_device_buffer(train_ds.ref_buffer(), mesh)
         print(f"[train] with_ref: {ref_buffer['rgbs'].shape[0]} ref rays")
     warm_buffer = None
     if warmup_mode is not None:
         warm_ds = create_dataset(opt, warmup_mode)
-        warm_buffer = jax.tree_util.tree_map(
-            jnp.asarray, warm_ds.ray_buffer())
+        warm_buffer = to_device_buffer(warm_ds.ray_buffer(), mesh)
 
     # adversarial patch training (--with_netD, downX; reference
     # train.py gan hook + nerf_downX_model.train_gan)
@@ -156,6 +155,11 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
             start_epoch = resume
             print(f"[train] resumed from epoch {resume}")
     state = ckpt.init_weights_from(opt, state, state)
+    if mesh is not None and mesh_spans_processes(mesh):
+        # multi-controller: the state must be a GLOBAL replicated array
+        # before entering the jitted step over the cross-process mesh
+        # (every process holds the identical seed-derived value)
+        state = replicate(state, mesh)
 
     global_step = int(state.step)
     t_start = time.time()
@@ -171,7 +175,19 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
             use_warm = (warm_buffer is not None
                         and global_step < warmup_iters)
             src = warm_buffer if use_warm else buffer
-            if patch_mode:
+            if use_warm and patch_mode:
+                # The warm-up split is a FLAT ray buffer while patch
+                # mode's source is image-structured; feeding the flat
+                # buffer to train_step_patches would mis-index its
+                # (N_img, H, W) leading dims. Warm steps therefore use
+                # the flat step; patch sampling starts after warm-up
+                # (the reference never combines train_crop warm-up with
+                # patch losses — train_blender.py:77-82 swaps datasets,
+                # patch mode needs contiguous pixels).
+                k = 1
+                state, losses = system.train_step_from_buffer(state, src,
+                                                              key)
+            elif patch_mode:
                 k = 1
                 state, losses = system.train_step_patches(
                     state, src, key, opt.patch_size)
@@ -227,9 +243,13 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                     f"{k}={v:.4g}" for k, v in scal.items()))
 
             # mid-epoch single-image validation (parity: validate_iter
-            # every --val_freq iterations, reference train.py:98-113)
+            # every --val_freq iterations, reference train.py:98-113).
+            # EVERY process enters the render — a computation over a
+            # cross-process mesh must be joined by all controllers or
+            # the collectives deadlock; only the master writes (the
+            # writer is a no-op sink on non-master processes).
             if (val_ds is not None and opt.val_freq > 0
-                    and global_step % opt.val_freq < k and is_master()):
+                    and global_step % opt.val_freq < k):
                 sample = val_ds.image_rays(0)
                 out = system.render_eval(state.params, val_ds, 0, sample)
                 m = system.eval_metrics(out, sample)
@@ -237,13 +257,15 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                 # visuals dumped at the coarser --vis_freq cadence
                 # (reference train.py:111-112).
                 vis_freq = getattr(opt, "vis_freq", 0)
-                if vis_freq > 0 and global_step % vis_freq < k:
+                if vis_freq > 0 and global_step % vis_freq < k \
+                        and is_master():
                     vis = system.eval_visuals(
                         out, sample, f"s{global_step}", with_gt=True,
                         depth_bounds=val_ds.depth_bounds)
                     save_visuals(vis, _vis_dir(opt, epoch, "iter"))
-                print(f"[val_iter s{global_step}] " + " ".join(
-                    f"{kk}={vv:.4g}" for kk, vv in m.items()))
+                if is_master():
+                    print(f"[val_iter s{global_step}] " + " ".join(
+                        f"{kk}={vv:.4g}" for kk, vv in m.items()))
 
         print(f"[train] epoch {epoch} done in {time.time()-t_epoch:.1f}s")
 
@@ -253,31 +275,37 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
             print(f"[train] saved {path}")
 
         # --val_epoch_freq 0 disables the per-epoch validation pass
-        # (matches the refine loop's gate below)
-        if val_ds is not None and is_master() and opt.val_epoch_freq and \
+        # (matches the refine loop's gate below). All processes render
+        # (global-mesh computation); master-only writes.
+        if val_ds is not None and opt.val_epoch_freq and \
                 (epoch % opt.val_epoch_freq == 0
                  or epoch == opt.n_epochs):
-            metrics = validate(opt, system, state.params, val_ds,
-                               out_dir=_vis_dir(opt, epoch, "val"))
+            metrics = validate(
+                opt, system, state.params, val_ds,
+                out_dir=_vis_dir(opt, epoch, "val") if is_master()
+                else None)
             writer.add_scalars(metrics, global_step, prefix="val/")
-            print(f"[val e{epoch}] " + " ".join(
-                f"{k}={v:.4g}" for k, v in metrics.items()))
+            if is_master():
+                print(f"[val e{epoch}] " + " ".join(
+                    f"{k}={v:.4g}" for k, v in metrics.items()))
 
         # epoch-end render of the val_epoch split (parity: train.py's
         # vis_epoch_freq test render, reference train.py:117-136)
         if (getattr(opt, "vis_epoch_freq", 0)
-                and epoch % opt.vis_epoch_freq == 0 and is_master()):
+                and epoch % opt.vis_epoch_freq == 0):
             try:
                 vis_ds = create_dataset(opt, opt.val_epoch_split)
                 metrics = validate(
                     opt, system, state.params, vis_ds,
-                    out_dir=_vis_dir(opt, epoch,
-                                     opt.val_epoch_split),
+                    out_dir=_vis_dir(opt, epoch, opt.val_epoch_split)
+                    if is_master() else None,
                     max_images=4)
                 writer.add_scalars(metrics, global_step,
                                    prefix=f"{opt.val_epoch_split}/")
-                print(f"[{opt.val_epoch_split} e{epoch}] " + " ".join(
-                    f"{k}={v:.4g}" for k, v in metrics.items()))
+                if is_master():
+                    print(f"[{opt.val_epoch_split} e{epoch}] "
+                          + " ".join(f"{k}={v:.4g}"
+                                     for k, v in metrics.items()))
             except Exception as e:
                 print(f"[train] vis_epoch render skipped: {e}")
 
@@ -300,21 +328,30 @@ def _vis_dir(opt, epoch, split):
 
 
 def validate(opt, system, params, dataset, out_dir=None, max_images=None):
-    """Render every val image, log PSNR, dump side-by-side visuals
-    (parity: ``models/nerf_model.py:355-373`` validate)."""
+    """Render every val image, log PSNR, dump side-by-side visuals and
+    per-level gifs (parity: ``models/nerf_model.py:355-392`` validate/
+    test emit gif Visualizees alongside the stills)."""
     n = len(dataset)
     if max_images:
         n = min(n, max_images)
     metrics = []
     visuals = []
+    gif_frames = {}
     for i in range(n):
         sample = dataset.image_rays(i)
         out = system.render_eval(params, dataset, i, sample)
         metrics.append(system.eval_metrics(out, sample))
         if out_dir is not None:
-            visuals.extend(system.eval_visuals(
-                out, sample, i, with_gt=True,
-                depth_bounds=dataset.depth_bounds))
+            for v in system.eval_visuals(
+                    out, sample, i, with_gt=True,
+                    depth_bounds=dataset.depth_bounds):
+                visuals.append(v)
+                if v.kind == "image":
+                    level = v.name.split("-", 1)[1]
+                    gif_frames.setdefault(level, []).append(v.data)
+    for level, frames in gif_frames.items():
+        if len(frames) > 1:
+            visuals.append(Visualizee("gif", frames, name=level))
     if out_dir is not None and visuals:
         save_visuals(visuals, out_dir)
     return {k: float(np.mean([m[k] for m in metrics]))

@@ -218,9 +218,15 @@ class NeRFDownXSystem(NeRFSystem):
     def gan_step(self, state: TrainState, d_state, patch, key):
         """Render one HR patch and take a D step + a lambda_gan-weighted
         G step (the L1 term is omitted — 'already done by nerf',
-        reference :545-547). patch: HR (P, P, C) ray fields + rgbs."""
+        reference :545-547). patch: HR (P, P, C) ray fields + rgbs.
+
+        --gan_mode wgangp additionally applies the standard gradient
+        penalty to the D loss (the reference's backward_D, :518-533,
+        omits it — which makes its wgangp objective unbounded; fixed
+        here rather than reproduced)."""
         import optax
-        from nerfsr_tpu.models.criterions import gan_loss
+        from nerfsr_tpu.models.criterions import (gan_loss,
+                                                  wgan_gradient_penalty)
 
         opt = self.opt
         plen = opt.patch_len
@@ -247,7 +253,14 @@ class NeRFDownXSystem(NeRFSystem):
             pr = self.netD.apply(d_vars(pd), d_in(real))
             lf = gan_loss(pf, False, opt.gan_mode)
             lr_ = gan_loss(pr, True, opt.gan_mode)
-            return 0.5 * (lf + lr_), (lr_, lf)
+            loss = 0.5 * (lf + lr_)
+            if opt.gan_mode == "wgangp":
+                # the Wasserstein objective is unbounded without the
+                # gradient penalty on real/fake interpolates
+                loss = loss + wgan_gradient_penalty(
+                    lambda x: self.netD.apply(d_vars(pd), d_in(x)),
+                    jax.random.fold_in(step_key, 7), real, fake_sg)
+            return loss, (lr_, lf)
 
         (_, (d_real, d_fake)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(d_state["params"])

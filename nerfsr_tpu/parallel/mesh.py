@@ -85,8 +85,39 @@ def shard_batch(batch, mesh: Optional[Mesh]):
 
 
 def replicate(tree, mesh: Optional[Mesh]):
-    """Place a pytree fully replicated on the mesh (params/opt state)."""
+    """Place a pytree fully replicated on the mesh (params/opt state).
+
+    Multi-controller safe: when the mesh spans processes, every process
+    holds the full (identical) host value and the global array is
+    assembled from the process-local copies."""
     if mesh is None:
         return tree
     sh = replicated_sharding(mesh)
+    if mesh_spans_processes(mesh):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
     return jax.device_put(tree, sh)
+
+
+def mesh_spans_processes(mesh: Mesh) -> bool:
+    return jax.process_count() > 1 and len(
+        {d.process_index for d in mesh.devices.flat}) > 1
+
+
+def to_device_buffer(tree, mesh: Optional[Mesh]):
+    """Upload a host pytree (e.g. the ray buffer, identical on every
+    process) as fully-replicated device arrays valid under the mesh.
+
+    Single-process: plain ``jnp.asarray`` (the jitted step's sharding
+    constraints handle placement). Multi-controller: the buffer must be
+    a GLOBAL array addressable by the global-mesh program, so it is
+    assembled replicated from each process's identical copy."""
+    import jax.numpy as jnp
+
+    if mesh is not None and mesh_spans_processes(mesh):
+        sh = replicated_sharding(mesh)
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
+    return jax.tree_util.tree_map(jnp.asarray, tree)
