@@ -698,7 +698,15 @@ class NeRFSystem:
         out = self.eval_image_device_pose(
             params, dev, jnp.asarray(np.stack([c2w, vd_c2w])),
             spec["geom"], chunk)
-        out = jax.tree_util.tree_map(np.asarray, out)
+        from nerfsr_tpu.parallel.mesh import mesh_spans_processes
+        if self.mesh is not None and mesh_spans_processes(self.mesh):
+            # multi-controller: the render rows are sharded across
+            # processes; gather the global value to every host (the
+            # per-image eval outputs are small vs the render FLOPs)
+            from jax.experimental import multihost_utils
+            out = multihost_utils.process_allgather(out, tiled=True)
+        else:
+            out = jax.tree_util.tree_map(np.asarray, out)
         return {k: v[:n] for k, v in out.items()}
 
     def render_eval(self, params, dataset, idx: int,

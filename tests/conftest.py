@@ -25,3 +25,8 @@ jax.config.update("jax_platforms", "cpu")
 from nerfsr_tpu.utils.devbench import enable_compile_cache  # noqa: E402
 
 enable_compile_cache(os.path.expanduser("~/.cache/nerfsr_tpu/xla-tests"))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tests (multi-process launches)")
