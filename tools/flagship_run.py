@@ -26,6 +26,13 @@ def main():
     p.add_argument("--steps", type=int, default=6000)
     p.add_argument("--wh", type=int, nargs=2, default=[504, 378])
     p.add_argument("--n_imgs", type=int, default=8)
+    p.add_argument("--downscale", type=int, default=2,
+                   help="supersampling factor ds (renders at --wh, "
+                        "supervises at wh/ds; the reference's x4 config "
+                        "is --wh 1008 756 --downscale 4 --batch_size "
+                        "128, scripts/train_llff_downX.sh:19)")
+    p.add_argument("--batch_size", type=int, default=512,
+                   help="LR pixels per step (x ds^2 HR rays)")
     p.add_argument("--fast_sampling", action="store_true",
                    help="proposal-MLP sampling (see config.py)")
     p.add_argument("--N_importance", type=int, default=64,
@@ -79,7 +86,8 @@ def main():
 
     opt = default_options(
         "train", model="nerf_downX", dataset_mode="llff_downX",
-        dataset_root=scene, img_wh=(w, h), downscale=2, batch_size=512,
+        dataset_root=scene, img_wh=(w, h), downscale=args.downscale,
+        batch_size=args.batch_size,
         N_coarse=64, N_importance=args.N_importance, precision="mixed",
         white_bkgd=False, noise_std=1.0, include_var=True,
         fast_sampling=args.fast_sampling, n_prop=args.n_prop,
@@ -114,7 +122,7 @@ def main():
         if steps % 1000 == 0:
             scal = {k: float(v) for k, v in losses.items()
                     if k in ("fine_psnr", "fine_psnr_ori", "tot")}
-            hr_rays = opt.batch_size * 4 * steps
+            hr_rays = opt.batch_size * args.downscale ** 2 * steps
             print(f"[flagship] step {steps}: " + " ".join(
                 f"{k}={v:.3f}" for k, v in scal.items()) +
                 f" ({hr_rays/(time.time()-t0):,.0f} HR rays/s)",
