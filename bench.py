@@ -156,6 +156,23 @@ def main():
     dt = _bench_system(opt, grouped, n_steps)
     parity_rays_per_sec = n_steps * n_hr_rays / dt
 
+    # x4 SUPERSAMPLING line: the reference's documented downscale-4
+    # config ("if downscale=4, change batchsize=128",
+    # scripts/train_llff_downX.sh:19): 128 LR px x 16 sub-rays = the
+    # same 2048 HR rays/step, primary fast24-lv2 sampling. Quality at
+    # ds=4 (textured scene, 1008x756 HR from 252x189 LR, full 30-epoch
+    # schedule, paired seeds — STATUS.md) matches parity.
+    opt_ds4 = default_options(
+        "train", model="nerf_downX", dataset_mode="llff_downX",
+        batch_size=128, N_coarse=64, N_importance=24, n_prop=64,
+        n_prop_levels=2, n_prop2=32,
+        precision="mixed", white_bkgd=False, noise_std=1.0,
+        downscale=4, include_var=True, fast_sampling=True,
+        img_wh=(1008, 756), n_epochs=30, n_epochs_decay=10)
+    grouped16 = grouped_buffer(1 << 14, 16)
+    dt_ds4 = _bench_system(opt_ds4, grouped16, n_steps)
+    ds4_rays_per_sec = n_steps * 128 * 16 / dt_ds4
+
     # ALSO: eval render throughput at flagship image size (504x378 =
     # 190512 HR rays; feeds the test/warp/refine pipeline stages).
     n_lr_img = (504 * 378) // (ds * ds)
@@ -180,6 +197,7 @@ def main():
                          "publishes none); vs_own_parity is measured",
         "vs_own_parity": round(
             fast24_rays_per_sec / parity_rays_per_sec, 2),
+        "ds4_rays_per_sec": round(ds4_rays_per_sec, 1),
         "fast16_maxspeed_rays_per_sec": round(fast16_rays_per_sec, 1),
         "fast64_rays_per_sec": round(fast_rays_per_sec, 1),
         "parity_path_rays_per_sec": round(parity_rays_per_sec, 1),
