@@ -290,6 +290,14 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                         "multi-round CDF resample (--n_prop_levels 2): "
                         "keeps exploration mass everywhere so a round-1 "
                         "false negative can still be corrected")
+    p.add_argument("--prop_pad_anneal", type=int, default=0,
+                   help="decay the resample padding linearly from "
+                        "--prop_pad to --prop_pad_final over this many "
+                        "train steps (0 = constant pad). Early "
+                        "exploration floor, late concentration; eval "
+                        "uses the fully annealed value")
+    p.add_argument("--prop_pad_final", type=float, default=0.0,
+                   help="resample padding after --prop_pad_anneal steps")
     p.add_argument("--prop_D", type=int, default=4,
                    help="proposal MLP depth (--fast_sampling)")
     p.add_argument("--prop_W", type=int, default=64,

@@ -77,11 +77,12 @@ class NeRFDownXSystem(NeRFSystem):
             viewdirs=flat(batch.get("viewdirs", batch["directions"])),
         )
 
-    def _loss_fn(self, params, batch, key):
+    def _loss_fn(self, params, batch, key, step=None):
         opt = self.opt
         ds2 = self.ds2
         rays = self._flat_rays(batch)
-        out = self.render(params, rays, key, randomized=bool(self.opt.randomized))
+        out = self.render(params, rays, key,
+                          randomized=bool(self.opt.randomized), step=step)
 
         lr_rgbs = batch["rgbs"]                   # (B, 3)
         losses: Dict[str, Any] = {}

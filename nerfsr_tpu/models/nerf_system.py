@@ -77,6 +77,8 @@ class NeRFSystem:
             n_prop_levels=getattr(opt, "n_prop_levels", 1),
             n_prop2=getattr(opt, "n_prop2", 32),
             prop_pad=getattr(opt, "prop_pad", 0.01),
+            prop_pad_anneal=getattr(opt, "prop_pad_anneal", 0),
+            prop_pad_final=getattr(opt, "prop_pad_final", 0.0),
         )
         self.prop_mlp = None
         if self.render_cfg.fast_sampling:
@@ -202,12 +204,13 @@ class NeRFSystem:
     # ------------------------------------------------------------------
     # forward / loss
     # ------------------------------------------------------------------
-    def render(self, params, rays: Rays, key, randomized: bool):
+    def render(self, params, rays: Rays, key, randomized: bool,
+               step=None):
         if self.prop_mlp is not None:
             from nerfsr_tpu.models.render import render_rays_fast
             return render_rays_fast(self.mlp, self.prop_mlp, params,
                                     rays, key, self.render_cfg,
-                                    randomized)
+                                    randomized, step=step)
         return render_rays(
             self.mlp, params["coarse"], params.get("fine"), rays, key,
             self.render_cfg, randomized)
@@ -330,10 +333,11 @@ class NeRFSystem:
         batch = jax.tree_util.tree_map(lambda x: x[idx], buffer)
         return self._train_step_impl(state, batch, render_key)
 
-    def _loss_fn(self, params, batch, key):
+    def _loss_fn(self, params, batch, key, step=None):
         """Render + losses for one batch (overridable by subclasses)."""
         rays = self._batch_to_rays(batch)
-        out = self.render(params, rays, key, randomized=bool(self.opt.randomized))
+        out = self.render(params, rays, key,
+                          randomized=bool(self.opt.randomized), step=step)
         return self.compute_losses(out, batch)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
@@ -486,7 +490,7 @@ class NeRFSystem:
                 # per-shard mean; pmean makes it the global batch mean
                 # (matches the reference's DataParallel loss semantics,
                 # SURVEY.md §7 'DataParallel loss semantics')
-                return self._loss_fn(params, batch, step_key)
+                return self._loss_fn(params, batch, step_key, state.step)
 
             (_, losses), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
@@ -539,7 +543,8 @@ class NeRFSystem:
         batch = shard_batch(batch, self.mesh)
 
         (_, losses), grads = jax.value_and_grad(
-            self._loss_fn, has_aux=True)(state.params, batch, step_key)
+            self._loss_fn, has_aux=True)(state.params, batch, step_key,
+                                         state.step)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)

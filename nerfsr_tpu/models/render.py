@@ -55,6 +55,13 @@ class RenderConfig:
     n_prop_levels: int = 1         # --n_prop_levels proposal rounds
     n_prop2: int = 32              # --n_prop2 second-round samples
     prop_pad: float = 0.01         # --prop_pad resample padding (lv>=2)
+    # --prop_pad_anneal N: decay the resample padding linearly from
+    # prop_pad to prop_pad_final over the first N train steps (0 = off).
+    # Early exploration floor guards against the round-1 false-negative
+    # death spiral; late decay stops wasting fine samples on uniform
+    # exploration once the proposal histogram is trustworthy.
+    prop_pad_anneal: int = 0
+    prop_pad_final: float = 0.0    # --prop_pad_final
 
 
 def _eval_level(mlp, params, rays: Rays, points, z_vals, dir_emb,
@@ -101,9 +108,23 @@ def _eval_level(mlp, params, rays: Rays, points, z_vals, dir_emb,
                                 cfg.sigma_activation)
 
 
+def _annealed_pad(cfg: RenderConfig, step):
+    """Resample padding at this train step. With --prop_pad_anneal the
+    pad decays linearly prop_pad -> prop_pad_final over the first
+    ``prop_pad_anneal`` steps; ``step=None`` (eval) uses the fully
+    annealed value. Returns a python float or a traced scalar."""
+    if cfg.prop_pad_anneal <= 0:
+        return cfg.prop_pad
+    if step is None:
+        return cfg.prop_pad_final
+    frac = jnp.clip(
+        jnp.asarray(step, jnp.float32) / cfg.prop_pad_anneal, 0.0, 1.0)
+    return cfg.prop_pad + (cfg.prop_pad_final - cfg.prop_pad) * frac
+
+
 def render_rays_fast(mlp, prop_mlp, params, rays: Rays,
                      key: Optional[jax.Array], cfg: RenderConfig,
-                     randomized: bool) -> Dict[str, Any]:
+                     randomized: bool, step=None) -> Dict[str, Any]:
     """--fast_sampling render: a tiny sigma-only proposal MLP shapes the
     sampling distribution; the big MLP runs ONCE on ``n_importance``
     proposal-guided samples (vs coarse 64 + fine 128 evaluations on the
@@ -119,6 +140,7 @@ def render_rays_fast(mlp, prop_mlp, params, rays: Rays,
     if key is None:
         key = jax.random.PRNGKey(0)
     k_prop, k_resample, k_noise = jax.random.split(key, 3)
+    pad = _annealed_pad(cfg, step)
 
     dir_emb = None
     if cfg.use_dir:
@@ -149,7 +171,7 @@ def render_rays_fast(mlp, prop_mlp, params, rays: Rays,
             # multinerf's resample_padding (arXiv 2111.12077 impl).
             z_prop = sample_pdf_stratified(
                 jax.random.fold_in(k_prop, lvl), bins_l,
-                jax.lax.stop_gradient(w_prev[..., 1:-1]) + cfg.prop_pad,
+                jax.lax.stop_gradient(w_prev[..., 1:-1]) + pad,
                 cfg.n_prop2, randomized)
             pts = cast_rays(rays.origins, rays.directions, z_prop)
         prop_emb = positional_encoding(
@@ -171,7 +193,7 @@ def render_rays_fast(mlp, prop_mlp, params, rays: Rays,
     n_uni = int(round(cfg.n_importance * cfg.uniform_frac))
     n_cdf = cfg.n_importance - n_uni
     bins = 0.5 * (z_prop[..., :-1] + z_prop[..., 1:])
-    fine_pad = cfg.prop_pad if cfg.n_prop_levels > 1 else 0.0
+    fine_pad = pad if cfg.n_prop_levels > 1 else 0.0
     z_fine = sample_pdf_stratified(
         k_resample, bins,
         jax.lax.stop_gradient(w_prop[..., 1:-1]) + fine_pad,

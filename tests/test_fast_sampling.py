@@ -310,3 +310,56 @@ class TestTwoLevelProposals:
         assert out["fine_rgb"].shape == (64, 3)
         m = system.eval_metrics(out, {"rgbs": rays["rgbs"]})
         assert np.isfinite(m["fine_psnr"]) and np.isfinite(m["fine_ssim"])
+
+
+class TestPropPadAnneal:
+    """--prop_pad_anneal: the resample padding decays linearly
+    prop_pad -> prop_pad_final over N steps; eval (step=None) uses the
+    fully annealed value."""
+
+    def test_endpoints_match_static_pads(self):
+        batch = _ray_batch(8, seed=3)
+        key = jax.random.PRNGKey(2)
+
+        def fine_z(step=None, **kw):
+            opt = _fast_opt(n_prop_levels=2, n_prop2=8, **kw)
+            system = create_model(opt)
+            params = system.init_params(jax.random.PRNGKey(0))
+            out = system.render(params, system._batch_to_rays(batch),
+                                key, randomized=True, step=step)
+            return np.asarray(out["fine_z"])
+
+        anneal = dict(prop_pad=0.05, prop_pad_final=0.002,
+                      prop_pad_anneal=100)
+        # step 0 == static pad at the start value
+        np.testing.assert_allclose(
+            fine_z(step=jnp.zeros((), jnp.int32), **anneal),
+            fine_z(prop_pad=0.05), rtol=1e-6)
+        # step >= anneal == static pad at the final value
+        np.testing.assert_allclose(
+            fine_z(step=jnp.asarray(100, jnp.int32), **anneal),
+            fine_z(prop_pad=0.002), rtol=1e-6)
+        # eval (step=None) uses the fully annealed value too
+        np.testing.assert_allclose(
+            fine_z(step=None, **anneal),
+            fine_z(prop_pad=0.002), rtol=1e-6)
+        # midpoint sits strictly between the endpoints
+        z_mid = fine_z(step=jnp.asarray(50, jnp.int32), **anneal)
+        assert not np.allclose(z_mid, fine_z(prop_pad=0.05))
+        assert not np.allclose(z_mid, fine_z(prop_pad=0.002))
+
+    def test_train_step_threads_state_step(self):
+        """A scanned train step with annealing enabled runs and the
+        descent still happens (step flows state.step -> _loss_fn ->
+        render)."""
+        opt = _fast_opt(prop_pad_anneal=50, prop_pad=0.05,
+                        prop_pad_final=0.0, n_prop_levels=2, n_prop2=8)
+        system = create_model(opt)
+        state = system.create_state(jax.random.PRNGKey(0),
+                                    steps_per_epoch=60)
+        buf = _ray_batch(64)
+        key = jax.random.PRNGKey(1)
+        state, l0 = system.train_steps_scan(state, buf, 2, key)
+        state, l1 = system.train_steps_scan(state, buf, 100, key)
+        assert int(state.step) == 102
+        assert float(l1["tot"]) < float(l0["tot"])

@@ -43,6 +43,8 @@ def main():
     p.add_argument("--n_prop_levels", type=int, default=1)
     p.add_argument("--n_prop2", type=int, default=32)
     p.add_argument("--prop_pad", type=float, default=0.01)
+    p.add_argument("--prop_pad_anneal", type=int, default=0)
+    p.add_argument("--prop_pad_final", type=float, default=0.0)
     p.add_argument("--fast_uniform_frac", type=float, default=0.0)
     p.add_argument("--W", type=int, default=256,
                    help="big-MLP width (capacity/speed experiments)")
@@ -93,6 +95,8 @@ def main():
         fast_sampling=args.fast_sampling, n_prop=args.n_prop,
         n_prop_levels=args.n_prop_levels, n_prop2=args.n_prop2,
         prop_pad=args.prop_pad,
+        prop_pad_anneal=args.prop_pad_anneal,
+        prop_pad_final=args.prop_pad_final,
         fast_uniform_frac=args.fast_uniform_frac, W=args.W,
         n_epochs=30, n_epochs_decay=10, lr=5e-4, lr_final=5e-6)
     system = create_model(opt)
