@@ -290,6 +290,10 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                         "multi-round CDF resample (--n_prop_levels 2): "
                         "keeps exploration mass everywhere so a round-1 "
                         "false negative can still be corrected")
+    p.add_argument("--use_pallas_sampling", action="store_true",
+                   help="fused inverse-CDF resample Pallas kernel for "
+                        "the --fast_sampling resamples (f32-rounding "
+                        "equivalent to the XLA path, not bitwise)")
     p.add_argument("--prop_pad_anneal", type=int, default=0,
                    help="decay the resample padding linearly from "
                         "--prop_pad to --prop_pad_final over this many "

@@ -79,6 +79,8 @@ class NeRFSystem:
             prop_pad=getattr(opt, "prop_pad", 0.01),
             prop_pad_anneal=getattr(opt, "prop_pad_anneal", 0),
             prop_pad_final=getattr(opt, "prop_pad_final", 0.0),
+            use_pallas_sampling=getattr(opt, "use_pallas_sampling",
+                                        False),
         )
         self.prop_mlp = None
         if self.render_cfg.fast_sampling:

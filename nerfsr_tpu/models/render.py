@@ -11,6 +11,7 @@ kernel launches.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -62,6 +63,10 @@ class RenderConfig:
     # exploration once the proposal histogram is trustworthy.
     prop_pad_anneal: int = 0
     prop_pad_final: float = 0.0    # --prop_pad_final
+    # --use_pallas_sampling: fused inverse-CDF resample kernel
+    # (ops/pallas_sampling.py) for the fast-path resamples. f32-rounding
+    # equivalent to the jnp path (not bitwise: MXU prefix sum).
+    use_pallas_sampling: bool = False
 
 
 def _eval_level(mlp, params, rays: Rays, points, z_vals, dir_emb,
@@ -141,6 +146,14 @@ def render_rays_fast(mlp, prop_mlp, params, rays: Rays,
         key = jax.random.PRNGKey(0)
     k_prop, k_resample, k_noise = jax.random.split(key, 3)
     pad = _annealed_pad(cfg, step)
+    if cfg.use_pallas_sampling:
+        from nerfsr_tpu.ops.pallas_sampling import (
+            pallas_sample_pdf_stratified)
+        sample_strat = functools.partial(
+            pallas_sample_pdf_stratified,
+            interpret=cfg.pallas_interpret)
+    else:
+        sample_strat = sample_pdf_stratified
 
     dir_emb = None
     if cfg.use_dir:
@@ -169,7 +182,7 @@ def render_rays_fast(mlp, prop_mlp, params, rays: Rays,
             # interlevel loss has no gradient to correct it (measured:
             # 29.8 vs 36.2 PSNR on the cluttered scene). Same cure as
             # multinerf's resample_padding (arXiv 2111.12077 impl).
-            z_prop = sample_pdf_stratified(
+            z_prop = sample_strat(
                 jax.random.fold_in(k_prop, lvl), bins_l,
                 jax.lax.stop_gradient(w_prev[..., 1:-1]) + pad,
                 cfg.n_prop2, randomized)
@@ -194,7 +207,7 @@ def render_rays_fast(mlp, prop_mlp, params, rays: Rays,
     n_cdf = cfg.n_importance - n_uni
     bins = 0.5 * (z_prop[..., :-1] + z_prop[..., 1:])
     fine_pad = pad if cfg.n_prop_levels > 1 else 0.0
-    z_fine = sample_pdf_stratified(
+    z_fine = sample_strat(
         k_resample, bins,
         jax.lax.stop_gradient(w_prop[..., 1:-1]) + fine_pad,
         n_cdf, randomized)

@@ -159,3 +159,88 @@ def test_uneven_ray_count_tiles():
                                       True)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
                                rtol=2e-4, atol=1e-5)
+
+
+class TestFusedInvertCdf:
+    """Fused inverse-CDF sampler vs core/sampling (interpret mode)."""
+
+    def _inputs(self, n=32, b=17, q=8, seed=0):
+        rng = np.random.RandomState(seed)
+        z = np.sort(rng.rand(n, b + 1).astype(np.float32), axis=-1)
+        bins = 0.5 * (z[:, :-1] + z[:, 1:])
+        w = rng.rand(n, b - 1).astype(np.float32)
+        w[0, :] = 0.0          # degenerate-denominator rows
+        w[1, :2] = 100.0       # concentrated mass
+        return jnp.asarray(bins), jnp.asarray(w)
+
+    def test_bit_parity_with_reference(self):
+        from nerfsr_tpu.core.sampling import sample_pdf_stratified
+        from nerfsr_tpu.ops.pallas_sampling import (
+            pallas_sample_pdf_stratified)
+        bins, w = self._inputs()
+        key = jax.random.PRNGKey(7)
+        for randomized in (True, False):
+            ref = sample_pdf_stratified(key, bins, w, 8, randomized)
+            got = pallas_sample_pdf_stratified(key, bins, w, 8,
+                                               randomized,
+                                               interpret=True)
+            # same PRNG stream, same formulas; the MXU prefix-sum
+            # accumulates in a different order than jnp.cumsum, so
+            # parity is to f32 rounding, not bitwise
+            np.testing.assert_allclose(np.asarray(ref),
+                                       np.asarray(got), atol=2e-6)
+
+    def test_uneven_tile_and_shapes(self):
+        from nerfsr_tpu.core.sampling import sample_pdf_stratified
+        from nerfsr_tpu.ops.pallas_sampling import (
+            pallas_sample_pdf_stratified)
+        bins, w = self._inputs(n=24, b=31, q=24, seed=3)
+        key = jax.random.PRNGKey(1)
+        ref = sample_pdf_stratified(key, bins, w, 24, True)
+        got = pallas_sample_pdf_stratified(key, bins, w, 24, True,
+                                           interpret=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   atol=2e-6)
+
+    def test_no_gradient_path(self):
+        """Output is stop_gradient'ed: grads w.r.t. weights are zero."""
+        from nerfsr_tpu.ops.pallas_sampling import pallas_invert_cdf
+        bins, w = self._inputs(n=8, b=9, q=4)
+        u = jnp.linspace(0.05, 0.95, 4)[None, :].repeat(8, 0)
+        g = jax.grad(lambda ww: jnp.sum(
+            pallas_invert_cdf(bins, ww, u, interpret=True)))(w)
+        assert float(jnp.abs(g).max()) == 0.0
+
+    def test_fast_render_path_with_fused_sampler(self):
+        """--use_pallas_sampling (interpret): the full fast render path
+        matches the XLA sampler to f32 rounding."""
+        from nerfsr_tpu.config import default_options
+        from nerfsr_tpu.models import create_model
+
+        def render(use_kernel):
+            opt = default_options(
+                "train", model="nerf", dataset_mode="llff",
+                batch_size=16, fast_sampling=True, n_prop=16,
+                n_prop_levels=2, n_prop2=8, N_importance=8, prop_D=2,
+                prop_W=16, D=2, W=32, precision="f32", noise_std=0.0,
+                use_pallas_sampling=use_kernel, pallas_interpret=True)
+            system = create_model(opt)
+            params = system.init_params(jax.random.PRNGKey(0))
+            rng = np.random.RandomState(0)
+            d = rng.randn(16, 3).astype(np.float32)
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            rays = {
+                "origins": jnp.asarray(
+                    rng.randn(16, 3).astype(np.float32) * 0.1),
+                "directions": jnp.asarray(d), "viewdirs": jnp.asarray(d),
+                "near": jnp.zeros((16, 1), jnp.float32),
+                "far": jnp.ones((16, 1), jnp.float32),
+            }
+            return system.render(params, system._batch_to_rays(rays),
+                                 jax.random.PRNGKey(1), randomized=True)
+
+        ref, got = render(False), render(True)
+        np.testing.assert_allclose(np.asarray(ref["fine_z"]),
+                                   np.asarray(got["fine_z"]), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(ref["fine_rgb"]),
+                                   np.asarray(got["fine_rgb"]), atol=1e-4)
