@@ -92,26 +92,25 @@ def main():
     grouped = grouped_buffer(1 << 16, ds * ds)
 
     # PRIMARY: the flagship nerf_downX step with --fast_sampling
-    # --N_importance 24 --n_prop 64 --n_prop_levels 2 --n_prop2 32
-    # (TWO proposal rounds: 64 stratified + 32 resampled prop-MLP
+    # --N_importance 24 --n_prop 48 --n_prop_levels 2 --n_prop2 24
+    # (TWO proposal rounds: 48 stratified + 24 resampled prop-MLP
     # points shape the CDF; the big MLP runs once on 24 points — an
     # eighth of the parity path's big-MLP evaluations).
     # Quality-validated on the TEXTURED synthetic flagship scene
     # (tools/flagship_run.py --texture; the smooth-blob scene saturates
     # its data ceiling for every config and cannot discriminate).
     # Full 30-epoch runs, val HR PSNR/SSIM, seeds 0+1, paired on the
-    # identical deterministic scene: this config 38.45+36.97 /
-    # 0.953+0.939 vs single-round NI=24 np96 38.39+36.95 / 0.952+0.938
-    # vs parity 37.77+36.45 / 0.945+0.930 — matches-or-beats both in
-    # BOTH seeds. On the cluttered (thin-occluder) scene it matches
-    # parity within seed noise (36.89 vs 36.84 seed 0, 36.46 vs 36.62
-    # seed 1) where single-round np96 loses 0.7 dB (36.15 seed 0) —
-    # the second prop round recovers the depth resolution that one
-    # 96-pt round lacks.
+    # identical deterministic scene: this config 38.44+37.11 /
+    # 0.952+0.939 vs the previous 64+32 primary 38.45+36.97 /
+    # 0.953+0.939 vs parity 37.77+36.45 / 0.945+0.930 — and on the
+    # cluttered (thin-occluder) scene 37.12+36.90 / 0.952+0.950 vs
+    # 64+32's 36.89+36.46 and parity's 36.84+36.62: matches-or-beats
+    # every paired comparison at ~10% higher throughput (the halved
+    # second-round budget loses nothing the interlevel loss needs).
     opt_fast24 = default_options(
         "train", model="nerf_downX", dataset_mode="llff_downX",
-        batch_size=batch_lr, N_coarse=64, N_importance=24, n_prop=64,
-        n_prop_levels=2, n_prop2=32,
+        batch_size=batch_lr, N_coarse=64, N_importance=24, n_prop=48,
+        n_prop_levels=2, n_prop2=24,
         precision="mixed", white_bkgd=False, noise_std=1.0,
         downscale=ds, include_var=True, fast_sampling=True,
         img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
@@ -159,9 +158,10 @@ def main():
     # x4 SUPERSAMPLING line: the reference's documented downscale-4
     # config ("if downscale=4, change batchsize=128",
     # scripts/train_llff_downX.sh:19): 128 LR px x 16 sub-rays = the
-    # same 2048 HR rays/step, primary fast24-lv2 sampling. Quality at
-    # ds=4 (textured scene, 1008x756 HR from 252x189 LR, full 30-epoch
-    # schedule, paired seeds — STATUS.md) matches parity.
+    # same 2048 HR rays/step. Stays at the 64+32 proposal budget whose
+    # ds=4 quality was validated end-to-end (textured scene, 1008x756
+    # HR from 252x189 LR, full 30-epoch schedule, paired seeds —
+    # STATUS.md matches parity); the 48+24 budget is validated at ds=2.
     opt_ds4 = default_options(
         "train", model="nerf_downX", dataset_mode="llff_downX",
         batch_size=128, N_coarse=64, N_importance=24, n_prop=64,
@@ -181,8 +181,8 @@ def main():
 
     print(json.dumps({
         "metric": "train rays/sec/chip (LLFF x2 SS flagship step, "
-                  "--fast_sampling --N_importance 24 --n_prop 64 "
-                  "--n_prop_levels 2 --n_prop2 32, matches-or-beats "
+                  "--fast_sampling --N_importance 24 --n_prop 48 "
+                  "--n_prop_levels 2 --n_prop2 24, matches-or-beats "
                   "parity PSNR/SSIM both seeds)",
         "value": round(fast24_rays_per_sec, 1),
         "unit": "rays/s",
