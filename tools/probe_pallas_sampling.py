@@ -4,7 +4,11 @@
 Times the same scan50 train program as bench.py for fast-sampling
 configs with --use_pallas_sampling off vs on (median of 3).
 
-Usage: python tools/probe_pallas_sampling.py ["NI,np,lv,np2" ...]
+Also probes batch scaling (the XLA path degrades superlinearly past
+512 LR px — CLAUDE.md 'batch scaling probe'): pass BATCH as a fifth
+field, e.g. "24,48,2,24,2048".
+
+Usage: python tools/probe_pallas_sampling.py ["NI,np,lv,np2[,batch]" ...]
 """
 
 from __future__ import annotations
@@ -30,11 +34,13 @@ def main():
     enable_compile_cache()
     grouped = grouped_buffer(1 << 16, 4)
     n_steps = 50
-    for ni, np_, lv, np2 in cands:
+    for cand in cands:
+        ni, np_, lv, np2 = cand[:4]
+        batch = cand[4] if len(cand) > 4 else 512
         for use_kernel in (False, True):
             opt = default_options(
                 "train", model="nerf_downX", dataset_mode="llff_downX",
-                batch_size=512, N_coarse=64, N_importance=ni, n_prop=np_,
+                batch_size=batch, N_coarse=64, N_importance=ni, n_prop=np_,
                 n_prop_levels=lv, n_prop2=np2, precision="mixed",
                 white_bkgd=False, noise_std=1.0, downscale=2,
                 include_var=True, fast_sampling=True, img_wh=(504, 378),
@@ -55,8 +61,8 @@ def main():
                 assert float(losses["tot"]) > 0
                 reps.append(time.perf_counter() - t0)
             dt = sorted(reps)[1]
-            rays = n_steps * 512 * 4 / dt
-            print(f"NI={ni} np={np_} lv={lv} np2={np2} "
+            rays = n_steps * batch * 4 / dt
+            print(f"NI={ni} np={np_} lv={lv} np2={np2} batch={batch} "
                   f"kernel={use_kernel}: {rays:,.0f} rays/s "
                   f"({dt/n_steps*1e3:.2f} ms/step)", flush=True)
 
