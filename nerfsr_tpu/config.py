@@ -258,10 +258,13 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                    help="train-loss console/TB cadence override "
                         "(0 = use --print_freq)")
     p.add_argument("--use_pallas", action="store_true",
-                   help="fused Pallas compositing kernel (TPU)")
+                   help="EXPERIMENTAL fused Pallas compositing kernel "
+                        "(TPU; loss-identical, no measured speedup — "
+                        "XLA's fusion already covers it)")
     p.add_argument("--use_pallas_mlp", action="store_true",
-                   help="fully-fused Pallas MLP megakernel (TPU; "
-                        "default architecture only)")
+                   help="EXPERIMENTAL fully-fused Pallas MLP megakernel "
+                        "(TPU; default architecture only; fwd ~= XLA, "
+                        "no measured speedup)")
     p.add_argument("--pallas_mlp_bwd", type=str, default="xla",
                    choices=["xla", "pallas"],
                    help="megakernel backward: 'xla' recompute fallback "
@@ -291,9 +294,12 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                         "keeps exploration mass everywhere so a round-1 "
                         "false negative can still be corrected")
     p.add_argument("--use_pallas_sampling", action="store_true",
-                   help="fused inverse-CDF resample Pallas kernel for "
-                        "the --fast_sampling resamples (f32-rounding "
-                        "equivalent to the XLA path, not bitwise)")
+                   help="EXPERIMENTAL fused inverse-CDF resample Pallas "
+                        "kernel for the --fast_sampling resamples "
+                        "(f32-rounding equivalent to the XLA path, not "
+                        "bitwise). Measured A/B SLOWER than the "
+                        "gather-free XLA path (2.64->3.29 ms/step at "
+                        "the NI=24 primary) — kept as a kernel baseline")
     p.add_argument("--prop_pad_anneal", type=int, default=0,
                    help="decay the resample padding linearly from "
                         "--prop_pad to --prop_pad_final over this many "
