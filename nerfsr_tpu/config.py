@@ -300,6 +300,13 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                         "bitwise). Measured A/B SLOWER than the "
                         "gather-free XLA path (2.64->3.29 ms/step at "
                         "the NI=24 primary) — kept as a kernel baseline")
+    p.add_argument("--prop_pad_anneal_frac", type=float, default=0.0,
+                   help="schedule-relative --prop_pad_anneal: decay the "
+                        "resample pad over this fraction of the full "
+                        "training schedule (n_epochs x steps/epoch, "
+                        "resolved once the dataset size is known). The "
+                        "bench-primary config uses 0.5. Ignored when "
+                        "--prop_pad_anneal is set explicitly")
     p.add_argument("--prop_pad_anneal", type=int, default=0,
                    help="decay the resample padding linearly from "
                         "--prop_pad to --prop_pad_final over this many "

@@ -17,6 +17,7 @@ cwchenwang/NeRF-SR, re-architected for TPU:
 from __future__ import annotations
 
 
+import dataclasses
 import functools
 from typing import Any, Dict, Optional
 
@@ -174,6 +175,16 @@ class NeRFSystem:
                      steps_per_epoch: Optional[int] = None) -> TrainState:
         if steps_per_epoch:
             self._steps_per_epoch = max(1, steps_per_epoch)
+        # --prop_pad_anneal_frac: schedule-relative form of
+        # --prop_pad_anneal. The anneal length in steps depends on the
+        # dataset size (steps/epoch), which is only known here; a
+        # fraction lets scripts request "half the schedule" portably.
+        frac = getattr(self.opt, "prop_pad_anneal_frac", 0.0)
+        if frac > 0 and self.render_cfg.prop_pad_anneal == 0:
+            total = self._steps_per_epoch * max(1, self.opt.n_epochs)
+            self.render_cfg = dataclasses.replace(
+                self.render_cfg,
+                prop_pad_anneal=max(1, int(frac * total)))
         params = self.init_params(key)
         self.tx = self._make_tx(params)
         return TrainState(

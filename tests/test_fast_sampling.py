@@ -348,6 +348,26 @@ class TestPropPadAnneal:
         assert not np.allclose(z_mid, fine_z(prop_pad=0.05))
         assert not np.allclose(z_mid, fine_z(prop_pad=0.002))
 
+    def test_anneal_frac_resolves_at_create_state(self):
+        """--prop_pad_anneal_frac resolves to steps once the dataset
+        size (steps/epoch) is known; an explicit --prop_pad_anneal
+        wins."""
+        opt = _fast_opt(prop_pad_anneal_frac=0.5, n_prop_levels=2,
+                        n_prop2=8)
+        system = create_model(opt)
+        assert system.render_cfg.prop_pad_anneal == 0
+        system.create_state(jax.random.PRNGKey(0), steps_per_epoch=100)
+        # n_epochs x spe x frac (the lr-decay tail epochs train no
+        # steps — engine.py trains range(1, n_epochs+1))
+        assert system.render_cfg.prop_pad_anneal == \
+            int(0.5 * 100 * opt.n_epochs)
+        # explicit steps win over the fraction
+        opt2 = _fast_opt(prop_pad_anneal=77, prop_pad_anneal_frac=0.5,
+                         n_prop_levels=2, n_prop2=8)
+        system2 = create_model(opt2)
+        system2.create_state(jax.random.PRNGKey(0), steps_per_epoch=100)
+        assert system2.render_cfg.prop_pad_anneal == 77
+
     def test_train_step_threads_state_step(self):
         """A scanned train step with annealing enabled runs and the
         descent still happens (step flows state.step -> _loss_fn ->
