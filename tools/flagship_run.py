@@ -46,6 +46,10 @@ def main():
     p.add_argument("--prop_pad_anneal", type=int, default=0)
     p.add_argument("--prop_pad_final", type=float, default=0.0)
     p.add_argument("--fast_uniform_frac", type=float, default=0.0)
+    p.add_argument("--prop_W", type=int, default=64,
+                   help="proposal-MLP width (speed/quality experiments)")
+    p.add_argument("--prop_D", type=int, default=4,
+                   help="proposal-MLP depth")
     p.add_argument("--W", type=int, default=256,
                    help="big-MLP width (capacity/speed experiments)")
     p.add_argument("--seed", type=int, default=0)
@@ -98,6 +102,7 @@ def main():
         prop_pad_anneal=args.prop_pad_anneal,
         prop_pad_final=args.prop_pad_final,
         fast_uniform_frac=args.fast_uniform_frac, W=args.W,
+        prop_W=args.prop_W, prop_D=args.prop_D,
         n_epochs=30, n_epochs_decay=10, lr=5e-4, lr_final=5e-6)
     system = create_model(opt)
     print(f"[flagship] cfg: fast={system.render_cfg.fast_sampling} "
