@@ -99,6 +99,7 @@ def main():
     # PRIMARY: the flagship nerf_downX step with --fast_sampling
     # --N_importance 16 --n_prop 48 --n_prop_levels 2 --n_prop2 24
     # --prop_pad_anneal <half the schedule> --prop_pad_final 0.0
+    # --prop_W 48 --prop_D 3
     # (TWO proposal rounds: 48 stratified + 24 resampled prop-MLP
     # points shape the CDF; the big MLP runs once on 16 points — a
     # twelfth of the parity path's big-MLP evaluations. The resample
@@ -106,16 +107,19 @@ def main():
     # early uniform floor prevents the round-1 false-negative death
     # spiral, the late decay stops wasting the 16 fine samples on
     # uniform exploration — WITHOUT the anneal NI=16 is sample-starved
-    # on thin occluders, -0.4..-0.6 dB).
+    # on thin occluders, -0.4..-0.6 dB. The proposal MLP itself is
+    # slimmed from the W64/D4 default to W48/D3: at NI=16 the prop
+    # net dominates the step, and the smaller net keeps its CDF
+    # quality — scan50 probe 1.16M vs 1.00M rays/s.)
     # Quality-validated on the TEXTURED synthetic flagship scene
     # (tools/flagship_run.py --texture; the smooth-blob scene saturates
     # its data ceiling for every config and cannot discriminate).
     # Full 30-epoch runs, val HR PSNR/SSIM, seeds 0+1, paired on the
-    # identical deterministic scene: this config 38.55+36.93 /
-    # 0.954+0.937 vs parity 37.77+36.45 / 0.945+0.930 — and on the
-    # cluttered (thin-occluder) scene 36.77+36.61 / 0.949+0.947 vs
-    # parity's 36.84+36.62 (-0.08/-0.01, inside the seed spread):
-    # at-or-above parity in all four paired comparisons at ~10.6x
+    # identical deterministic scene: this config 38.46+37.38 /
+    # 0.953+0.942 vs parity 37.77+36.45 / 0.945+0.930 — and on the
+    # cluttered (thin-occluder) scene 36.82+36.56 / 0.950+0.947 vs
+    # parity's 36.84+36.62 (-0.02/-0.06, inside the seed spread):
+    # at-or-above parity in all four paired comparisons at ~12x
     # parity speed. NI=12 fails the cluttered bar (36.48, -0.36) —
     # the floor of the family is NI=16.
     opt_fast16 = default_options(
@@ -123,6 +127,7 @@ def main():
         batch_size=batch_lr, N_coarse=64, N_importance=16, n_prop=48,
         n_prop_levels=2, n_prop2=24,
         prop_pad_anneal=11160, prop_pad_final=0.0,
+        prop_W=48, prop_D=3,
         precision="mixed", white_bkgd=False, noise_std=1.0,
         downscale=ds, include_var=True, fast_sampling=True,
         img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
@@ -195,8 +200,9 @@ def main():
         "metric": "train rays/sec/chip (LLFF x2 SS flagship step, "
                   "--fast_sampling --N_importance 16 --n_prop 48 "
                   "--n_prop_levels 2 --n_prop2 24 --prop_pad_anneal "
-                  "half-schedule, at-or-above parity PSNR/SSIM on both "
-                  "benchmark scenes, both seeds)",
+                  "half-schedule --prop_W 48 --prop_D 3, at-or-above "
+                  "parity PSNR/SSIM on both benchmark scenes, both "
+                  "seeds)",
         "value": round(fast16_rays_per_sec, 1),
         "unit": "rays/s",
         # vs_baseline divides by an ESTIMATE (the reference publishes
