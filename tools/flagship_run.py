@@ -50,6 +50,8 @@ def main():
                    help="proposal-MLP width (speed/quality experiments)")
     p.add_argument("--prop_D", type=int, default=4,
                    help="proposal-MLP depth")
+    p.add_argument("--deg_prop", type=int, default=6,
+                   help="proposal posenc degree")
     p.add_argument("--W", type=int, default=256,
                    help="big-MLP width (capacity/speed experiments)")
     p.add_argument("--seed", type=int, default=0)
@@ -103,6 +105,7 @@ def main():
         prop_pad_final=args.prop_pad_final,
         fast_uniform_frac=args.fast_uniform_frac, W=args.W,
         prop_W=args.prop_W, prop_D=args.prop_D,
+        deg_prop=args.deg_prop,
         n_epochs=30, n_epochs_decay=10, lr=5e-4, lr_final=5e-6)
     system = create_model(opt)
     print(f"[flagship] cfg: fast={system.render_cfg.fast_sampling} "

@@ -7,9 +7,9 @@ n_prop_levels, n_prop2) candidates — used for proposal-budget
 reallocation experiments (VERDICT r2 'next' #5).
 
 Usage: python tools/probe_configs.py "24,48,2,24" "24,48,2,32" ...
-       (each arg: NI,np,levels,np2[,prop_W[,prop_D]]; the optional
-       trailing fields probe slimmer proposal MLPs — defaults 64,4;
-       default candidate set if none given)
+       (each arg: NI,np,levels,np2[,prop_W[,prop_D[,deg_prop]]]; the
+       optional trailing fields probe slimmer proposal MLPs / posenc —
+       defaults 64,4,6; default candidate set if none given)
 """
 
 from __future__ import annotations
@@ -40,10 +40,12 @@ def main():
         ni, np_, lv, np2 = cand[:4]
         pw = cand[4] if len(cand) > 4 else 64
         pd = cand[5] if len(cand) > 5 else 4
+        dg = cand[6] if len(cand) > 6 else 6
         opt = default_options(
             "train", model="nerf_downX", dataset_mode="llff_downX",
             batch_size=512, N_coarse=64, N_importance=ni, n_prop=np_,
             n_prop_levels=lv, n_prop2=np2, prop_W=pw, prop_D=pd,
+            deg_prop=dg,
             precision="mixed",
             white_bkgd=False, noise_std=1.0, downscale=2,
             include_var=True, fast_sampling=True, img_wh=(504, 378),
@@ -67,7 +69,8 @@ def main():
             reps.append(time.perf_counter() - t0)
         dt = sorted(reps)[1]
         rays = n_steps * 512 * 4 / dt
-        print(f"NI={ni} np={np_} lv={lv} np2={np2} pW={pw} pD={pd}: "
+        print(f"NI={ni} np={np_} lv={lv} np2={np2} pW={pw} pD={pd} "
+              f"deg={dg}: "
               f"{rays:,.0f} rays/s ({dt/n_steps*1e3:.2f} ms/step)",
               flush=True)
 
