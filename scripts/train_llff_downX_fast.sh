@@ -1,9 +1,9 @@
 # NeRF-SR supersampling x2 on an LLFF scene — TPU-native FAST config
 # (the bench.py primary). Same experiment as train_llff_downX.sh but
 # with proposal-MLP importance sampling: two slim proposal rounds
-# (48 stratified + 24 resampled points through a tiny sigma-only MLP)
-# shape the sampling CDF and the big MLP runs ONCE on 16 points — a
-# twelfth of the parity path's big-MLP evaluations, ~10.6x measured
+# (48 stratified + 24 resampled points through a tiny W48/D3
+# sigma-only MLP) shape the sampling CDF and the big MLP runs ONCE on 16 points — a
+# twelfth of the parity path's big-MLP evaluations, ~11.6x measured
 # step throughput at at-or-above-parity PSNR/SSIM (README "Testing &
 # benchmarking"). The resample-padding anneal (uniform exploration
 # floor early, pure proposal-guided sampling late) is REQUIRED at this
@@ -23,6 +23,7 @@ python train.py --name llff-${dataset}-${H}x${W}-fast16-ds${downscale} \
   --model nerf_downX --N_coarse 64 --N_importance 16 \
   --fast_sampling --n_prop 48 --n_prop_levels 2 --n_prop2 24 \
   --prop_pad_anneal_frac 0.5 --prop_pad_final 0.0 \
+  --prop_W 48 --prop_D 3 \
   --lr_policy exp --sigma_activation relu --lr 5e-4 --lr_final 5e-6 \
   --include_var --downscale ${downscale} \
   --scan_steps 20
