@@ -135,15 +135,18 @@ def main():
     fast16_rays_per_sec = n_steps * n_hr_rays / dt_fast16
 
     # QUALITY point: NI=24 with the slim two-round proposal (the
-    # round-3 primary before the anneal unlocked NI=16). BEATS parity
-    # and every other validated config in all four paired comparisons
-    # by a margin (textured 38.44+37.11 / 0.952+0.939, cluttered
-    # 37.12+36.90 / 0.952+0.950) at ~9x parity speed — the pick when
-    # quality headroom matters more than the last 17% of throughput.
+    # round-3 primary before the anneal unlocked NI=16) + the slim
+    # W48/D3 proposal net. BEATS parity and every other validated
+    # config in all four paired comparisons by a margin (textured
+    # 38.42+37.24 / 0.952+0.941, cluttered 37.14+36.89 / 0.953+0.950;
+    # statistically identical to the W64/D4 prop net's
+    # 38.44+37.11 / 37.12+36.90 but +2% faster — the slim prop net is
+    # free at NI=24 too) at ~9x parity speed — the pick when quality
+    # headroom matters more than the last ~15% of throughput.
     opt_fast24 = default_options(
         "train", model="nerf_downX", dataset_mode="llff_downX",
         batch_size=batch_lr, N_coarse=64, N_importance=24, n_prop=48,
-        n_prop_levels=2, n_prop2=24,
+        n_prop_levels=2, n_prop2=24, prop_W=48, prop_D=3,
         precision="mixed", white_bkgd=False, noise_std=1.0,
         downscale=ds, include_var=True, fast_sampling=True,
         img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
@@ -174,14 +177,18 @@ def main():
     # x4 SUPERSAMPLING line: the reference's documented downscale-4
     # config ("if downscale=4, change batchsize=128",
     # scripts/train_llff_downX.sh:19): 128 LR px x 16 sub-rays = the
-    # same 2048 HR rays/step. Stays at the 64+32 proposal budget whose
-    # ds=4 quality was validated end-to-end (textured scene, 1008x756
-    # HR from 252x189 LR, full 30-epoch schedule, paired seeds —
-    # STATUS.md matches parity); the 48+24 budget is validated at ds=2.
+    # same 2048 HR rays/step. Uses the NI=16 slim+anneal+slim-prop
+    # PRIMARY config, quality-validated end-to-end at ds=4 (textured
+    # scene, 1008x756 HR from 252x189 LR, full 30-epoch schedule =
+    # 89,280 steps, anneal spanning half of it, paired seeds — STATUS.md:
+    # 42.52+42.59 / 0.976+0.977 vs parity 42.37+42.61 / 0.976+0.977,
+    # within the seed spread, at ~1.4M rays/s sustained e2e).
     opt_ds4 = default_options(
         "train", model="nerf_downX", dataset_mode="llff_downX",
-        batch_size=128, N_coarse=64, N_importance=24, n_prop=64,
-        n_prop_levels=2, n_prop2=32,
+        batch_size=128, N_coarse=64, N_importance=16, n_prop=48,
+        n_prop_levels=2, n_prop2=24,
+        prop_pad_anneal=44640, prop_pad_final=0.0,
+        prop_W=48, prop_D=3,
         precision="mixed", white_bkgd=False, noise_std=1.0,
         downscale=4, include_var=True, fast_sampling=True,
         img_wh=(1008, 756), n_epochs=30, n_epochs_decay=10)

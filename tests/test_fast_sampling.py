@@ -59,6 +59,26 @@ class TestFastRender:
         assert np.all(np.diff(z, axis=-1) >= 0)
         assert z.min() >= 0.0 and z.max() <= 1.0
 
+    def test_deg_prop_controls_prop_posenc(self):
+        """--deg_prop sets the proposal MLP's positional-encoding degree
+        independently of the big MLP's deg_pos: the prop net's first
+        dense layer consumes posenc_channels(3, deg_prop) features, and
+        rendering stays well-formed at a reduced degree."""
+        from nerfsr_tpu.core.encoding import posenc_channels
+
+        for deg in (6, 2):
+            opt = _fast_opt(deg_prop=deg)
+            system = create_model(opt)
+            assert system.render_cfg.deg_prop == deg
+            params = system.init_params(jax.random.PRNGKey(0))
+            first = params["prop"]["params"]["layer_0"]["kernel"]
+            assert first.shape[0] == posenc_channels(3, deg)
+            out = system.render(params, system._batch_to_rays(_ray_batch(8)),
+                                jax.random.PRNGKey(1), randomized=True)
+            z = np.asarray(out["fine_z"])
+            assert z.shape == (8, opt.N_importance)
+            assert np.all(np.isfinite(np.asarray(out["fine_rgb"])))
+
     def test_uniform_mix_branch(self):
         """--fast_uniform_frac > 0 mixes stratified uniforms into the
         CDF samples (extra merge sort path); depths stay sorted and
