@@ -35,6 +35,12 @@ def _timed_scan(system, state, buffer, n_steps, key):
 
 
 def _bench_system(opt, buffer, n_steps=50):
+    """Median-of-3 reps of one compiled n_steps scan, normalized per
+    step. n_steps must be large enough that device compute dominates
+    the per-rep tunnel round-trip (multi-100 ms of host/RTT jitter):
+    at ~2 ms/step a 50-step scan is only ~100 ms of compute and the
+    recorded throughput can swing 10-20% run to run; callers pass
+    n_steps sized for >=1 s of compute per rep."""
     import jax
 
     from nerfsr_tpu.models import create_model
@@ -93,7 +99,10 @@ def main():
     ds = 2
     batch_lr = 512
     n_hr_rays = batch_lr * ds * ds
-    n_steps = 50
+    # per-config scan lengths sized for >=1 s of device compute per
+    # timed rep (see _bench_system): the tunnel's multi-100 ms RTT
+    # jitter otherwise dominates sub-200 ms scans.
+    steps_fast, steps_mid, steps_slow = 600, 150, 50
     grouped = grouped_buffer(1 << 16, ds * ds)
 
     # PRIMARY: the flagship nerf_downX step with --fast_sampling
@@ -131,8 +140,8 @@ def main():
         precision="mixed", white_bkgd=False, noise_std=1.0,
         downscale=ds, include_var=True, fast_sampling=True,
         img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
-    dt_fast16 = _bench_system(opt_fast16, grouped, n_steps)
-    fast16_rays_per_sec = n_steps * n_hr_rays / dt_fast16
+    dt_fast16 = _bench_system(opt_fast16, grouped, steps_fast)
+    fast16_rays_per_sec = steps_fast * n_hr_rays / dt_fast16
 
     # QUALITY point: NI=24 with the slim two-round proposal (the
     # round-3 primary before the anneal unlocked NI=16) + the slim
@@ -150,8 +159,8 @@ def main():
         precision="mixed", white_bkgd=False, noise_std=1.0,
         downscale=ds, include_var=True, fast_sampling=True,
         img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
-    dt_fast24 = _bench_system(opt_fast24, grouped, n_steps)
-    fast24_rays_per_sec = n_steps * n_hr_rays / dt_fast24
+    dt_fast24 = _bench_system(opt_fast24, grouped, steps_fast)
+    fast24_rays_per_sec = steps_fast * n_hr_rays / dt_fast24
 
     # SECONDARY: --fast_sampling at the reference's sample count
     # (N_importance 64). Textured 30-epoch quality: 37.90+36.53 /
@@ -162,8 +171,8 @@ def main():
         precision="mixed", white_bkgd=False, noise_std=1.0,
         downscale=ds, include_var=True, fast_sampling=True,
         img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
-    dt_fast = _bench_system(opt_fast, grouped, n_steps)
-    fast_rays_per_sec = n_steps * n_hr_rays / dt_fast
+    dt_fast = _bench_system(opt_fast, grouped, steps_mid)
+    fast_rays_per_sec = steps_mid * n_hr_rays / dt_fast
 
     # TERTIARY: the reference-parity coarse+fine flagship step
     opt = default_options(
@@ -171,8 +180,8 @@ def main():
         batch_size=batch_lr, N_coarse=64, N_importance=64,
         precision="mixed", white_bkgd=False, noise_std=1.0,
         downscale=ds, include_var=True, n_epochs=30, n_epochs_decay=10)
-    dt = _bench_system(opt, grouped, n_steps)
-    parity_rays_per_sec = n_steps * n_hr_rays / dt
+    dt = _bench_system(opt, grouped, steps_slow)
+    parity_rays_per_sec = steps_slow * n_hr_rays / dt
 
     # x4 SUPERSAMPLING line: the reference's documented downscale-4
     # config ("if downscale=4, change batchsize=128",
@@ -193,8 +202,8 @@ def main():
         downscale=4, include_var=True, fast_sampling=True,
         img_wh=(1008, 756), n_epochs=30, n_epochs_decay=10)
     grouped16 = grouped_buffer(1 << 14, 16)
-    dt_ds4 = _bench_system(opt_ds4, grouped16, n_steps)
-    ds4_rays_per_sec = n_steps * 128 * 16 / dt_ds4
+    dt_ds4 = _bench_system(opt_ds4, grouped16, steps_fast)
+    ds4_rays_per_sec = steps_fast * 128 * 16 / dt_ds4
 
     # ALSO: eval render throughput at flagship image size (504x378 =
     # 190512 HR rays; feeds the test/warp/refine pipeline stages).
