@@ -135,7 +135,10 @@ def main():
         "train", model="nerf_downX", dataset_mode="llff_downX",
         batch_size=batch_lr, N_coarse=64, N_importance=16, n_prop=48,
         n_prop_levels=2, n_prop2=24,
-        prop_pad_anneal=11160, prop_pad_final=0.0,
+        # frac form: "half the schedule" relative to whatever schedule
+        # the benched system builds (real flagship runs pass the
+        # equivalent absolute --prop_pad_anneal 11160 over 22320 steps)
+        prop_pad_anneal_frac=0.5, prop_pad_final=0.0,
         prop_W=48, prop_D=3,
         precision="mixed", white_bkgd=False, noise_std=1.0,
         downscale=ds, include_var=True, fast_sampling=True,
@@ -196,7 +199,7 @@ def main():
         "train", model="nerf_downX", dataset_mode="llff_downX",
         batch_size=128, N_coarse=64, N_importance=16, n_prop=48,
         n_prop_levels=2, n_prop2=24,
-        prop_pad_anneal=44640, prop_pad_final=0.0,
+        prop_pad_anneal_frac=0.5, prop_pad_final=0.0,
         prop_W=48, prop_D=3,
         precision="mixed", white_bkgd=False, noise_std=1.0,
         downscale=4, include_var=True, fast_sampling=True,

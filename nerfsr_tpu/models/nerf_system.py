@@ -179,8 +179,14 @@ class NeRFSystem:
         # --prop_pad_anneal. The anneal length in steps depends on the
         # dataset size (steps/epoch), which is only known here; a
         # fraction lets scripts request "half the schedule" portably.
+        # Re-resolve from the CONFIGURED value on every call: a system
+        # reused across datasets (different steps_per_epoch) must not
+        # keep a stale anneal length from the first resolution.
         frac = getattr(self.opt, "prop_pad_anneal_frac", 0.0)
-        if frac > 0 and self.render_cfg.prop_pad_anneal == 0:
+        if not hasattr(self, "_configured_prop_pad_anneal"):
+            self._configured_prop_pad_anneal = \
+                self.render_cfg.prop_pad_anneal
+        if frac > 0 and self._configured_prop_pad_anneal == 0:
             total = self._steps_per_epoch * max(1, self.opt.n_epochs)
             self.render_cfg = dataclasses.replace(
                 self.render_cfg,

@@ -64,7 +64,7 @@ class RenderConfig:
     prop_pad_anneal: int = 0
     prop_pad_final: float = 0.0    # --prop_pad_final
     # --use_pallas_sampling: fused inverse-CDF resample kernel
-    # (ops/pallas_sampling.py) for the fast-path resamples. f32-rounding
+    # (ops/experimental/pallas_sampling.py) for the fast-path resamples. f32-rounding
     # equivalent to the jnp path (not bitwise: MXU prefix sum).
     use_pallas_sampling: bool = False
 
@@ -77,8 +77,8 @@ def _eval_level(mlp, params, rays: Rays, points, z_vals, dir_emb,
     n, s, _ = points.shape
     if cfg.use_fused_mlp:
         # Pallas megakernel: posenc + all layers fused on-chip; raw
-        # points/dirs go in, rgb/sigma come out (ops/pallas_mlp.py).
-        from nerfsr_tpu.ops.pallas_mlp import (flatten_params,
+        # points/dirs go in, rgb/sigma come out (ops/experimental/pallas_mlp.py).
+        from nerfsr_tpu.ops.experimental.pallas_mlp import (flatten_params,
                                                fused_nerf_mlp)
         pts_flat = points.reshape(-1, 3)
         dirs_flat = jnp.broadcast_to(
@@ -105,7 +105,7 @@ def _eval_level(mlp, params, rays: Rays, points, z_vals, dir_emb,
     sigma = add_gaussian_noise(noise_key, sigma, randomized,
                                cfg.noise_std)
     if cfg.use_pallas:
-        from nerfsr_tpu.ops.pallas_composite import (
+        from nerfsr_tpu.ops.experimental.pallas_composite import (
             pallas_volumetric_rendering)
         return pallas_volumetric_rendering(
             rgb, sigma, z_vals, cfg.white_bkgd, cfg.sigma_activation)
@@ -147,7 +147,7 @@ def render_rays_fast(mlp, prop_mlp, params, rays: Rays,
     k_prop, k_resample, k_noise = jax.random.split(key, 3)
     pad = _annealed_pad(cfg, step)
     if cfg.use_pallas_sampling:
-        from nerfsr_tpu.ops.pallas_sampling import (
+        from nerfsr_tpu.ops.experimental.pallas_sampling import (
             pallas_sample_pdf_stratified)
         sample_strat = functools.partial(
             pallas_sample_pdf_stratified,

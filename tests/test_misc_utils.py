@@ -124,6 +124,44 @@ def test_clutter_rods_clear_near_plane():
     assert float(surf_z.max()) <= 3.7 - 2.0 - 0.2, surf_z.max()
 
 
+def test_scene_generator_specular_is_view_dependent():
+    """--specular (the third benchmark scene family) must (a) leave
+    density untouched (geometry is view-independent; proposal sampling
+    sees the same scene), (b) make radiance depend on the view
+    direction with meaningful magnitude across the LLFF rig's ~17-deg
+    camera span, and (c) keep the numpy/jax field twins bit-close."""
+    from tools.make_synthetic_scene import field, render_view, \
+        render_view_jax
+    from tools.make_synthetic_llff import nerf_pose
+
+    # shell points on blob 0 facing the camera rig (z > 0)
+    rng = np.random.RandomState(0)
+    n = rng.randn(256, 3)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    n = n[n[:, 2] > 0.2]
+    pts = (n * 0.45).astype(np.float32)
+
+    def vdirs(eye):
+        d = pts - eye
+        return (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(
+            np.float32)
+
+    e1 = np.array([0.65, 0.3, 4.0])
+    e2 = np.array([-0.65, -0.25, 4.0])
+    s1, r1 = field(pts, viewdirs=vdirs(e1))
+    s2, r2 = field(pts, viewdirs=vdirs(e2))
+    assert np.allclose(s1, s2)                       # (a)
+    d = np.abs(r1 - r2)
+    assert d.mean() > 0.01 and d.max() > 0.2, (d.mean(), d.max())  # (b)
+
+    c2w = nerf_pose(np.array([0.3, -0.2, 4.0]), np.zeros(3))
+    kw = dict(near=2.0, far=6.5, texture=True, specular=True,
+              n_samples=64)
+    a = render_view(c2w, (24, 32), 1.125 * 32, **kw)
+    b = render_view_jax(c2w, (24, 32), 1.125 * 32, **kw)
+    assert float(np.abs(a - b).max()) < 5e-3         # (c)
+
+
 def test_render_view_jax_matches_numpy():
     """The jax twin of render_view generates every full-size benchmark
     scene; any drift in its duplicated field/compositing math would

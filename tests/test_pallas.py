@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import pytest
 
 from nerfsr_tpu.core.rendering import volumetric_rendering
-from nerfsr_tpu.ops.pallas_composite import pallas_volumetric_rendering
+from nerfsr_tpu.ops.experimental.pallas_composite import pallas_volumetric_rendering
 
 
 def make_inputs(n=16, s=24, seed=0):
@@ -60,7 +60,7 @@ class TestFusedMLP:
 
     def _setup(self):
         from nerfsr_tpu.models.mlp import VanillaMLP
-        from nerfsr_tpu.ops.pallas_mlp import flatten_params
+        from nerfsr_tpu.ops.experimental.pallas_mlp import flatten_params
 
         mlp = VanillaMLP(compute_dtype=jnp.float32)
         rng = np.random.RandomState(0)
@@ -75,7 +75,7 @@ class TestFusedMLP:
             dir_emb
 
     def test_forward_matches_flax(self):
-        from nerfsr_tpu.ops.pallas_mlp import fused_nerf_mlp
+        from nerfsr_tpu.ops.experimental.pallas_mlp import fused_nerf_mlp
 
         mlp, params, flat, pts, dirs, xyz_emb, dir_emb = self._setup()
         rgb_ref, sigma_ref = mlp.apply(params, xyz_emb, dir_emb)
@@ -89,7 +89,7 @@ class TestFusedMLP:
     def _check_grads(self, bwd_mode):
         """Both backward modes ('pallas' v3 kernel in interpret mode,
         'xla' recompute fallback) must match flax gradients."""
-        from nerfsr_tpu.ops.pallas_mlp import (fused_nerf_mlp,
+        from nerfsr_tpu.ops.experimental.pallas_mlp import (fused_nerf_mlp,
                                                unflatten_grads)
 
         mlp, params, flat, pts, dirs, xyz_emb, dir_emb = self._setup()
@@ -175,7 +175,7 @@ class TestFusedInvertCdf:
 
     def test_bit_parity_with_reference(self):
         from nerfsr_tpu.core.sampling import sample_pdf_stratified
-        from nerfsr_tpu.ops.pallas_sampling import (
+        from nerfsr_tpu.ops.experimental.pallas_sampling import (
             pallas_sample_pdf_stratified)
         bins, w = self._inputs()
         key = jax.random.PRNGKey(7)
@@ -192,7 +192,7 @@ class TestFusedInvertCdf:
 
     def test_uneven_tile_and_shapes(self):
         from nerfsr_tpu.core.sampling import sample_pdf_stratified
-        from nerfsr_tpu.ops.pallas_sampling import (
+        from nerfsr_tpu.ops.experimental.pallas_sampling import (
             pallas_sample_pdf_stratified)
         bins, w = self._inputs(n=24, b=31, q=24, seed=3)
         key = jax.random.PRNGKey(1)
@@ -204,7 +204,7 @@ class TestFusedInvertCdf:
 
     def test_no_gradient_path(self):
         """Output is stop_gradient'ed: grads w.r.t. weights are zero."""
-        from nerfsr_tpu.ops.pallas_sampling import pallas_invert_cdf
+        from nerfsr_tpu.ops.experimental.pallas_sampling import pallas_invert_cdf
         bins, w = self._inputs(n=8, b=9, q=4)
         u = jnp.linspace(0.05, 0.95, 4)[None, :].repeat(8, 0)
         g = jax.grad(lambda ww: jnp.sum(

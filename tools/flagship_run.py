@@ -64,6 +64,10 @@ def main():
                         "discriminates N_importance/n_prop — the "
                         "blob-only scene rewards degenerate sample "
                         "counts)")
+    p.add_argument("--specular", action="store_true",
+                   help="Phong view-dependent highlights on the blobs "
+                        "(stresses the dir-conditioned MLP + proposal "
+                        "sampling; the third benchmark scene family)")
     args = p.parse_args()
 
     import jax
@@ -80,17 +84,22 @@ def main():
     from nerfsr_tpu.models import create_model
 
     w, h = args.wh
-    scene = os.path.join(
-        args.out_dir,
-        ("scene_tex_clut" if args.clutter else "scene_tex")
-        if args.texture else
-        ("scene_clut" if args.clutter else "scene"))
+    name = "scene"
+    if args.texture:
+        name += "_tex"
+    if args.clutter:
+        name += "_clut"
+    if args.specular:
+        name += "_spec"
+    scene = os.path.join(args.out_dir, name)
     if not os.path.exists(os.path.join(scene, "sparse/0/cameras.bin")):
         print(f"[flagship] generating synthetic LLFF scene {w}x{h} "
-              f"(texture={args.texture} clutter={args.clutter})...")
+              f"(texture={args.texture} clutter={args.clutter} "
+              f"specular={args.specular})...")
         from tools.make_synthetic_llff import make_llff_scene
         make_llff_scene(scene, hw=(h, w), n_imgs=args.n_imgs,
-                        texture=args.texture, clutter=args.clutter)
+                        texture=args.texture, clutter=args.clutter,
+                        specular=args.specular)
 
     opt = default_options(
         "train", model="nerf_downX", dataset_mode="llff_downX",

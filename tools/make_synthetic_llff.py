@@ -36,7 +36,7 @@ def nerf_pose(eye, target):
 
 
 def make_llff_scene(out_dir, hw=(40, 40), n_imgs=6, seed=0,
-                    texture=False, clutter=False):
+                    texture=False, clutter=False, specular=False):
     from PIL import Image
 
     rng = np.random.RandomState(seed)
@@ -79,9 +79,9 @@ def make_llff_scene(out_dir, hw=(40, 40), n_imgs=6, seed=0,
             except Exception:
                 pass
         img = rv(c2w, hw, focal, near=2.0, far=6.5,
-                 texture=texture, clutter=clutter,
+                 texture=texture, clutter=clutter, specular=specular,
                  n_samples=320 if clutter else
-                 (256 if texture else 96))
+                 (256 if (texture or specular) else 96))
         name = f"img_{i:03d}.png"
         Image.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(out_dir, "images", name))
@@ -139,7 +139,11 @@ if __name__ == "__main__":
     p.add_argument("--clutter", action="store_true",
                    help="thin near-opaque occluder rods (depth "
                         "complexity; discriminates sample counts)")
+    p.add_argument("--specular", action="store_true",
+                   help="Phong-shaded blobs with tight view-dependent "
+                        "highlights (stresses the dir-conditioned MLP)")
     args = p.parse_args()
     make_llff_scene(args.out_dir, tuple(args.hw), args.n_imgs,
-                    texture=args.texture, clutter=args.clutter)
+                    texture=args.texture, clutter=args.clutter,
+                    specular=args.specular)
     print(f"llff scene written to {args.out_dir}")

@@ -64,8 +64,47 @@ def _make_rods(n=14, seed=7):
 RODS = _make_rods()
 ROD_PEAK = 80.0
 
+# Specular scene family: two fixed directional lights + Phong lobes of
+# MIXED width. The broad lobe (shininess 8, half-width ~21 deg) puts
+# view-dependent gloss on a large fraction of every blob's visible
+# surface; the tight lobe (shininess 60, half-width ~8 deg — at or below
+# the deg_dir=4 posenc resolution, whose finest band period is ~22 deg)
+# adds small hard highlights that MOVE across the surface between
+# training views (the LLFF rig's cameras span ~17 deg of view angle per
+# world point). This is the adversarial axis neither the textured nor
+# the cluttered scene stresses: radiance that changes strongly with view
+# direction while density stays view-independent (so proposal sampling
+# sees the same geometry but the dir-conditioned big MLP must carry the
+# lobes).
+SPEC_LIGHTS = [  # (unit direction TO the light, intensity, shininess)
+    (np.array([0.4, 0.7, 0.6]) / np.linalg.norm([0.4, 0.7, 0.6]),
+     0.75, 8.0),
+    (np.array([-0.6, 0.2, 0.75]) / np.linalg.norm([-0.6, 0.2, 0.75]),
+     0.9, 60.0),
+]
+SPEC_KS = 0.9
+SPEC_DIFF = 0.45
+SPEC_AMB = 0.5
 
-def field(pts, texture=False, clutter=False):
+
+def _phong(n, v, xp):
+    """Per-point Phong shading terms. ``n``: (..., 3) unit normals,
+    ``v``: (..., 3) unit directions toward the camera. Returns
+    (diffuse, specular) scalars (...,). ``xp`` = numpy or jax.numpy —
+    the math is written once so the twins cannot drift."""
+    diff = xp.zeros(n.shape[:-1], n.dtype)
+    spec = xp.zeros(n.shape[:-1], n.dtype)
+    for light, inten, shin in SPEC_LIGHTS:
+        light = xp.asarray(light, n.dtype)
+        ndl = xp.sum(n * light, -1)
+        refl = 2.0 * ndl[..., None] * n - light   # mirror of L about n
+        rdv = xp.clip(xp.sum(refl * v, -1), 0.0, None)
+        diff = diff + inten * xp.clip(ndl, 0.0, None)
+        spec = spec + inten * rdv ** shin
+    return diff, spec
+
+
+def field(pts, texture=False, clutter=False, viewdirs=None):
     """Analytic sigma/rgb at world points (N, 3).
 
     ``texture=True`` multiplies each blob's albedo by a multi-frequency
@@ -76,6 +115,11 @@ def field(pts, texture=False, clutter=False):
     config converges to val PSNR 30.8198 on the 504x378 LLFF scene, to
     five decimals) — quality comparisons between configs need the
     textured variant to have discriminating power.
+
+    ``viewdirs`` (broadcastable to ``pts``, unit vectors along the ray)
+    enables the SPECULAR scene family: blob albedo is Phong-shaded with
+    per-blob radial normals and two directional lights, making emitted
+    radiance strongly view-dependent while density stays geometric.
     """
     sigma = np.zeros(pts.shape[:-1], np.float32)
     rgb = np.zeros(pts.shape, np.float32)
@@ -97,9 +141,18 @@ def field(pts, texture=False, clutter=False):
                ).astype(np.float32)
         tex = np.clip(tex, 0.05, 1.0)[..., None]
     for c, r, col, peak in BLOBS:
-        d2 = np.sum((pts - c) ** 2, -1)
+        off = pts - c
+        d2 = np.sum(off ** 2, -1)
         s = peak * np.exp(-d2 / (2 * (r / 2) ** 2)).astype(np.float32)
         blob_col = col * tex if texture else col
+        if viewdirs is not None:
+            n = off / np.maximum(
+                np.sqrt(d2)[..., None], 1e-8).astype(np.float32)
+            v = -np.broadcast_to(viewdirs, pts.shape).astype(np.float32)
+            diff, spec = _phong(n, v, np)
+            blob_col = (blob_col * (SPEC_AMB
+                                    + SPEC_DIFF * diff[..., None])
+                        + SPEC_KS * spec[..., None])
         rgb += s[..., None] * blob_col
         sigma += s
     if clutter:
@@ -129,7 +182,7 @@ def field(pts, texture=False, clutter=False):
     return np.clip(sigma, 0, None), np.clip(rgb, 0.0, 1.0)
 
 
-def _field_jax(pts, texture: bool, clutter: bool):
+def _field_jax(pts, texture: bool, clutter: bool, viewdirs=None):
     """jax.numpy twin of ``field`` (same constants, same math) — the
     analytic field is embarrassingly parallel, and this 1-core host
     takes ~8 min/image to evaluate it in numpy (sys-time bound on temp
@@ -150,10 +203,18 @@ def _field_jax(pts, texture: bool, clutter: bool):
                * jnp.sin(2 * jnp.pi * y / 0.0253))
         tex = jnp.clip(tex, 0.05, 1.0)[..., None]
     for c, r, col, peak in BLOBS:
-        d2 = jnp.sum((pts - c) ** 2, -1)
+        off = pts - c
+        d2 = jnp.sum(off ** 2, -1)
         s = peak * jnp.exp(-d2 / (2 * (r / 2) ** 2))
         blob_col = jnp.asarray(col, jnp.float32) * tex if texture \
             else jnp.asarray(col, jnp.float32)
+        if viewdirs is not None:
+            n = off / jnp.maximum(jnp.sqrt(d2)[..., None], 1e-8)
+            v = -jnp.broadcast_to(viewdirs, pts.shape)
+            diff, spec = _phong(n, v, jnp)
+            blob_col = (blob_col * (SPEC_AMB
+                                    + SPEC_DIFF * diff[..., None])
+                        + SPEC_KS * spec[..., None])
         rgb = rgb + s[..., None] * blob_col
         sigma = sigma + s
     if clutter:
@@ -189,10 +250,12 @@ def _rows_jit(n_samples, near, far):
     t = jnp.linspace(near, far, n_samples, dtype=jnp.float32)
     delta = (far - near) / (n_samples - 1)
 
-    @functools.partial(jax.jit, static_argnames=("texture", "clutter"))
-    def rows(ro_c, rd_c, texture, clutter):
+    @functools.partial(jax.jit,
+                       static_argnames=("texture", "clutter", "specular"))
+    def rows(ro_c, rd_c, texture, clutter, specular=False):
         pts = ro_c[..., None, :] + t[..., None] * rd_c[..., None, :]
-        sigma, rgb = _field_jax(pts, texture, clutter)
+        vd = rd_c[..., None, :] if specular else None
+        sigma, rgb = _field_jax(pts, texture, clutter, viewdirs=vd)
         alpha = 1 - jnp.exp(-sigma * delta)
         trans = jnp.cumprod(1 - alpha + 1e-10, axis=-1)
         trans = jnp.concatenate([jnp.ones_like(trans[..., :1]),
@@ -210,7 +273,7 @@ _ROWS_CACHE = {}
 
 
 def render_view_jax(c2w, hw, focal, n_samples=96, near=2.0, far=6.0,
-                    texture=False, clutter=False):
+                    texture=False, clutter=False, specular=False):
     """Device-accelerated twin of ``render_view`` (one jitted
     row-chunked quadrature pass). Used by the generators when JAX is
     importable; falls back to numpy otherwise."""
@@ -239,7 +302,7 @@ def render_view_jax(c2w, hw, focal, n_samples=96, near=2.0, far=6.0,
         rd_c[:n] = rd[r0:r0 + n]
         ro_c[:n] = ro[r0:r0 + n]
         img = np.asarray(rows(jnp.asarray(ro_c), jnp.asarray(rd_c),
-                              texture, clutter))
+                              texture, clutter, specular))
         out_rows.append(img[:n])
     return np.clip(np.concatenate(out_rows, axis=0), 0, 1)
 
@@ -256,7 +319,7 @@ def look_at_pose(eye):
 
 
 def render_view(c2w, hw, focal, n_samples=96, near=2.0, far=6.0,
-                texture=False, clutter=False):
+                texture=False, clutter=False, specular=False):
     h, w = hw
     i, j = np.meshgrid(np.arange(w, dtype=np.float32) + 0.5,
                        np.arange(h, dtype=np.float32) + 0.5,
@@ -276,7 +339,9 @@ def render_view(c2w, hw, focal, n_samples=96, near=2.0, far=6.0,
         rd_c = rd[r0:r0 + rows_per_chunk]
         ro_c = ro[r0:r0 + rows_per_chunk]
         pts = ro_c[..., None, :] + t[..., None] * rd_c[..., None, :]
-        sigma, rgb = field(pts, texture=texture, clutter=clutter)
+        vd = rd_c[..., None, :] if specular else None
+        sigma, rgb = field(pts, texture=texture, clutter=clutter,
+                           viewdirs=vd)
         alpha = 1 - np.exp(-sigma * delta)
         trans = np.cumprod(1 - alpha + 1e-10, axis=-1)
         trans = np.concatenate([np.ones_like(trans[..., :1]),
