@@ -10,7 +10,10 @@ per-step compute effect).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 "fast24_quality_rays_per_sec", "fast64_rays_per_sec",
 "parity_path_rays_per_sec", "ds4_rays_per_sec",
-"eval_render_rays_per_sec"}.
+"eval_render_rays_per_sec", "configs": {per-config rep spread +
+step_ms + analytic MFLOP/ray + achieved TFLOP/s + MFU vs the v5e's
+197 TFLOP/s bf16 peak; the primary adds the calibrated per-dispatch
+overhead and the overhead-free asymptotic rate}}.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md), so
 vs_baseline divides by a documented ESTIMATE of the reference's per-GPU
@@ -34,13 +37,17 @@ def _timed_scan(system, state, buffer, n_steps, key):
     return state
 
 
-def _bench_system(opt, buffer, n_steps=50):
-    """Median-of-3 reps of one compiled n_steps scan, normalized per
-    step. n_steps must be large enough that device compute dominates
-    the per-rep tunnel round-trip (multi-100 ms of host/RTT jitter):
-    at ~2 ms/step a 50-step scan is only ~100 ms of compute and the
-    recorded throughput can swing 10-20% run to run; callers pass
-    n_steps sized for >=1 s of compute per rep."""
+def _bench_system(opt, buffer, n_steps=50, extra_scans=()):
+    """3 reps of one compiled n_steps scan. n_steps must be large
+    enough that device compute dominates the per-rep dispatch+readback
+    round trip through the tunnel (measured ~25-100 ms, occasionally
+    multi-100 ms): at ~2 ms/step a 50-step scan is only ~100 ms of
+    compute, so scan50 numbers under-report true device throughput by
+    ~20-50% — THIS is what moved the recorded primary 1.097M -> 1.68M
+    rays/s between the round-3 docs (scan50-era measurements) and the
+    round-3 driver bench (600-step scans, committed in ce04e5e).
+    Returns (sorted rep times, {extra_len: sorted rep times}) so
+    callers can report spread and calibrate the fixed overhead."""
     import jax
 
     from nerfsr_tpu.models import create_model
@@ -50,13 +57,77 @@ def _bench_system(opt, buffer, n_steps=50):
                                 steps_per_epoch=2000)
     key = jax.random.PRNGKey(0)
     state = _timed_scan(system, state, buffer, n_steps, key)  # compile
-    times = []
-    for _ in range(3):  # median-of-3: the tunnel adds multi-100ms
-        t0 = time.perf_counter()  # jitter to single-shot timings
-        # train_steps_scan donates state — rebind it every rep
-        state = _timed_scan(system, state, buffer, n_steps, key)
-        times.append(time.perf_counter() - t0)
-    return sorted(times)[1]
+
+    def reps(n):
+        nonlocal state
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            # train_steps_scan donates state — rebind it every rep
+            state = _timed_scan(system, state, buffer, n, key)
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)
+
+    times = reps(n_steps)
+    extras = {}
+    for n in extra_scans:
+        # rebind: the scan donates its input state
+        state = _timed_scan(system, state, buffer, n, key)  # compile
+        extras[n] = reps(n)
+    return times, extras
+
+
+def _flops_per_hr_ray(opt):
+    """Analytic matmul FLOPs per HR ray for one TRAINING step (fwd +
+    bwd = 3x fwd; no remat in the train path). Counts every 2-D kernel
+    in each network's param tree (2*m*n MACs->FLOPs per point) times
+    the points/ray that network evaluates; posenc/composite/resample
+    elementwise work is excluded (<2% at these shapes). Used for the
+    MFU line: achieved TFLOP/s vs the v5e's 197 TFLOP/s bf16 peak."""
+    import jax
+    import numpy as np
+
+    from nerfsr_tpu.models import create_model
+
+    system = create_model(opt)
+    params = system.init_params(jax.random.PRNGKey(0))
+
+    def per_point(net):
+        return sum(2 * int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(params[net])
+                   if getattr(l, "ndim", 0) == 2)
+
+    cfg = system.render_cfg
+    if cfg.fast_sampling:
+        prop_pts = cfg.n_prop + (
+            cfg.n_prop2 if cfg.n_prop_levels >= 2 else 0)
+        fwd = prop_pts * per_point("prop") \
+            + cfg.n_importance * per_point("fine")
+    else:
+        # parity: coarse net on n_coarse pts, fine net on the merged
+        # n_coarse + n_importance depths (models/nerf_model.py:207-240)
+        fwd = cfg.n_coarse * per_point("coarse") + (
+            cfg.n_coarse + cfg.n_importance) * per_point("fine")
+    return 3.0 * fwd
+
+
+_V5E_BF16_PEAK = 197e12
+
+
+def _config_report(times, n_steps, n_hr_rays, flops_per_ray):
+    med = times[1]
+    rays_per_sec = n_steps * n_hr_rays / med
+    return {
+        "rays_per_sec": round(rays_per_sec, 1),
+        "step_ms": round(1e3 * med / n_steps, 3),
+        "scan_steps": n_steps,
+        "reps_s": [round(t, 4) for t in times],
+        "mflop_per_hr_ray": round(flops_per_ray / 1e6, 2),
+        "achieved_tflops": round(rays_per_sec * flops_per_ray / 1e12,
+                                 1),
+        "mfu_pct": round(100 * rays_per_sec * flops_per_ray
+                         / _V5E_BF16_PEAK, 1),
+    }
 
 
 def _bench_eval(opt, n_lr, ds2):
@@ -87,7 +158,7 @@ def _bench_eval(opt, n_lr, ds2):
         assert float(out["fine_rgb"].sum()) == float(
             out["fine_rgb"].sum())
         times.append(time.perf_counter() - t0)
-    return sorted(times)[1]
+    return sorted(times)
 
 
 def main():
@@ -143,8 +214,21 @@ def main():
         precision="mixed", white_bkgd=False, noise_std=1.0,
         downscale=ds, include_var=True, fast_sampling=True,
         img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
-    dt_fast16 = _bench_system(opt_fast16, grouped, steps_fast)
-    fast16_rays_per_sec = steps_fast * n_hr_rays / dt_fast16
+    t_fast16, extras16 = _bench_system(opt_fast16, grouped, steps_fast,
+                                       extra_scans=(steps_slow,))
+    rep_fast16 = _config_report(
+        t_fast16, steps_fast, n_hr_rays,
+        _flops_per_hr_ray(opt_fast16))
+    fast16_rays_per_sec = rep_fast16["rays_per_sec"]
+    # fixed dispatch+readback overhead per scan call through the axon
+    # tunnel, from the (50, 600)-step pair: T(n) = c + n*t. This is the
+    # term that made every scan50-era number under-report (weak #1).
+    t50 = extras16[steps_slow][1]
+    t600 = t_fast16[1]
+    t_step = (t600 - t50) / (steps_fast - steps_slow)
+    overhead_ms = 1e3 * (t50 - steps_slow * t_step)
+    rep_fast16["dispatch_overhead_ms"] = round(overhead_ms, 1)
+    rep_fast16["asymptotic_rays_per_sec"] = round(n_hr_rays / t_step, 1)
 
     # QUALITY point: NI=24 with the slim two-round proposal (the
     # round-3 primary before the anneal unlocked NI=16) + the slim
@@ -162,8 +246,11 @@ def main():
         precision="mixed", white_bkgd=False, noise_std=1.0,
         downscale=ds, include_var=True, fast_sampling=True,
         img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
-    dt_fast24 = _bench_system(opt_fast24, grouped, steps_fast)
-    fast24_rays_per_sec = steps_fast * n_hr_rays / dt_fast24
+    t_fast24, _ = _bench_system(opt_fast24, grouped, steps_fast)
+    rep_fast24 = _config_report(
+        t_fast24, steps_fast, n_hr_rays,
+        _flops_per_hr_ray(opt_fast24))
+    fast24_rays_per_sec = rep_fast24["rays_per_sec"]
 
     # SECONDARY: --fast_sampling at the reference's sample count
     # (N_importance 64). Textured 30-epoch quality: 37.90+36.53 /
@@ -174,8 +261,11 @@ def main():
         precision="mixed", white_bkgd=False, noise_std=1.0,
         downscale=ds, include_var=True, fast_sampling=True,
         img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
-    dt_fast = _bench_system(opt_fast, grouped, steps_mid)
-    fast_rays_per_sec = steps_mid * n_hr_rays / dt_fast
+    t_fast, _ = _bench_system(opt_fast, grouped, steps_mid)
+    rep_fast = _config_report(
+        t_fast, steps_mid, n_hr_rays,
+        _flops_per_hr_ray(opt_fast))
+    fast_rays_per_sec = rep_fast["rays_per_sec"]
 
     # TERTIARY: the reference-parity coarse+fine flagship step
     opt = default_options(
@@ -183,8 +273,11 @@ def main():
         batch_size=batch_lr, N_coarse=64, N_importance=64,
         precision="mixed", white_bkgd=False, noise_std=1.0,
         downscale=ds, include_var=True, n_epochs=30, n_epochs_decay=10)
-    dt = _bench_system(opt, grouped, steps_slow)
-    parity_rays_per_sec = steps_slow * n_hr_rays / dt
+    t_par, _ = _bench_system(opt, grouped, steps_slow)
+    rep_parity = _config_report(
+        t_par, steps_slow, n_hr_rays,
+        _flops_per_hr_ray(opt))
+    parity_rays_per_sec = rep_parity["rays_per_sec"]
 
     # x4 SUPERSAMPLING line: the reference's documented downscale-4
     # config ("if downscale=4, change batchsize=128",
@@ -205,15 +298,30 @@ def main():
         downscale=4, include_var=True, fast_sampling=True,
         img_wh=(1008, 756), n_epochs=30, n_epochs_decay=10)
     grouped16 = grouped_buffer(1 << 14, 16)
-    dt_ds4 = _bench_system(opt_ds4, grouped16, steps_fast)
-    ds4_rays_per_sec = steps_fast * 128 * 16 / dt_ds4
+    t_ds4, _ = _bench_system(opt_ds4, grouped16, steps_fast)
+    rep_ds4 = _config_report(
+        t_ds4, steps_fast, 128 * 16,
+        _flops_per_hr_ray(opt_ds4))
+    ds4_rays_per_sec = rep_ds4["rays_per_sec"]
 
     # ALSO: eval render throughput at flagship image size (504x378 =
     # 190512 HR rays; feeds the test/warp/refine pipeline stages).
     # Primary config; eval uses the fully-annealed pad (0.0).
     n_lr_img = (504 * 378) // (ds * ds)
-    dt_eval = _bench_eval(opt_fast16, n_lr_img, ds * ds)
-    eval_rays_per_sec = n_lr_img * ds * ds / dt_eval
+    t_eval = _bench_eval(opt_fast16, n_lr_img, ds * ds)
+    eval_rays_per_sec = round(n_lr_img * ds * ds / t_eval[1], 1)
+    # eval has no backward: analytic fwd-only FLOPs (train/3)
+    eval_flops = _flops_per_hr_ray(opt_fast16) / 3.0
+    rep_eval = {
+        "rays_per_sec": eval_rays_per_sec,
+        "image_ms": round(1e3 * t_eval[1], 1),
+        "reps_s": [round(t, 4) for t in t_eval],
+        "mflop_per_hr_ray": round(eval_flops / 1e6, 2),
+        "achieved_tflops": round(
+            eval_rays_per_sec * eval_flops / 1e12, 1),
+        "mfu_pct": round(100 * eval_rays_per_sec * eval_flops
+                         / _V5E_BF16_PEAK, 1),
+    }
 
     print(json.dumps({
         "metric": "train rays/sec/chip (LLFF x2 SS flagship step, "
@@ -239,7 +347,22 @@ def main():
         "fast24_quality_rays_per_sec": round(fast24_rays_per_sec, 1),
         "fast64_rays_per_sec": round(fast_rays_per_sec, 1),
         "parity_path_rays_per_sec": round(parity_rays_per_sec, 1),
-        "eval_render_rays_per_sec": round(eval_rays_per_sec, 1),
+        "eval_render_rays_per_sec": eval_rays_per_sec,
+        # Per-config detail: rep spread (sorted 3 reps), per-step time,
+        # analytic matmul FLOPs/HR-ray (fwd+bwd=3x fwd, no remat) and
+        # the resulting achieved TFLOP/s / MFU vs the v5e's 197 TFLOP/s
+        # bf16 peak. The primary also reports the fixed per-dispatch
+        # overhead calibrated from a (50, 600)-step scan pair — the
+        # term that made scan50-era numbers (1.097M) under-report vs
+        # 600-step scans (the round-3 driver's 1.68M).
+        "configs": {
+            "primary_ni16": rep_fast16,
+            "quality_ni24": rep_fast24,
+            "fast64": rep_fast,
+            "parity": rep_parity,
+            "ds4": rep_ds4,
+            "eval_render": rep_eval,
+        },
     }))
 
 
