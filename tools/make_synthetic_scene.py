@@ -362,6 +362,17 @@ def make_scene(out_dir, hw=(40, 40), n_train=8, n_val=2, n_test=2,
     camera_angle_x = 0.8
     focal = 0.5 * w / np.tan(0.5 * camera_angle_x)
 
+    # full-size generation is minutes/image in numpy on this 1-core
+    # host; the jitted twin renders it in seconds (tiny test scenes
+    # keep numpy — not worth a compile)
+    rv = render_view
+    if h * w >= 128 * 128:
+        try:
+            rv = render_view_jax
+        except Exception:
+            pass
+    n_samples = 256 if texture else 96
+
     splits = {"train": n_train, "val": n_val, "test": n_test}
     idx = 0
     for split, n in splits.items():
@@ -375,7 +386,8 @@ def make_scene(out_dir, hw=(40, 40), n_train=8, n_val=2, n_test=2,
                 np.sin(theta) * np.cos(phi),
                 np.sin(phi)])
             c2w = look_at_pose(eye)
-            img = render_view(c2w, hw, focal, texture=texture)
+            img = rv(c2w, hw, focal, texture=texture,
+                     n_samples=n_samples)
             rel = f"./{split}/r_{idx}"
             Image.fromarray((img * 255).astype(np.uint8)).save(
                 os.path.join(out_dir, f"{rel[2:]}.png"))

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Profile the eval render path (VERDICT r3 weak #4: eval is 45% slower
+per ray than TRAINING at the same config, despite having no backward).
+
+Decomposes one flagship-sized image render (504x378 = 190512 HR rays)
+into:
+  - device compute at a range of eval chunk sizes (the production path
+    lax.map's fixed-size chunks inside ONE dispatch; if per-ray
+    throughput degrades with chunk size, eval inherits the superlinear
+    batch-size degradation the train step shows past 512 LR px)
+  - dispatch + readback overhead (time with NO readback of rgb/depth vs
+    full readback)
+  - multi-pose batching: k poses rendered in one dispatch
+
+Usage: python tools/probe_eval_render.py [--chunks 4096 8192 16384 32768]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunks", type=int, nargs="+",
+                    default=[2048, 4096, 8192, 16384, 32768])
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    from nerfsr_tpu.config import default_options
+    from nerfsr_tpu.models import create_model
+    from nerfsr_tpu.utils.devbench import enable_compile_cache
+
+    enable_compile_cache()
+    ds = 2
+    n_lr = (504 * 378) // (ds * ds)
+    n = n_lr * ds * ds  # 190512 HR rays
+
+    opt = default_options(
+        "train", model="nerf_downX", dataset_mode="llff_downX",
+        batch_size=512, N_coarse=64, N_importance=16, n_prop=48,
+        n_prop_levels=2, n_prop2=24, prop_W=48, prop_D=3,
+        precision="mixed", white_bkgd=False, noise_std=1.0,
+        downscale=ds, include_var=True, fast_sampling=True,
+        img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
+    system = create_model(opt)
+    state = system.create_state(jax.random.PRNGKey(0),
+                                steps_per_epoch=2000)
+
+    rng = np.random.RandomState(1)
+    dirs = rng.randn(n, 3).astype(np.float32)
+    dirs[:, 2] = -np.abs(dirs[:, 2]) - 0.5
+    spec = {"c2w": np.eye(3, 4, dtype=np.float32),
+            "geom": ("world", 0.0, 1.0)}
+
+    def timed(fn, reps):
+        fn()  # compile/settle
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    print(f"image = {n} HR rays; production render_pose per chunk size:")
+    for chunk in args.chunks:
+        t = timed(lambda: system.render_pose(
+            state.params, spec, dirs, chunk=chunk), args.reps)
+        print(f"  chunk {chunk:>6}: {1e3*t:8.1f} ms  "
+              f"{n/t/1e3:10.0f} K rays/s")
+
+    # dispatch+readback isolation at the best chunk: device-only sum
+    # (1 scalar back) vs the full rgb+depth readback the host needs.
+    chunk = args.chunks[0]
+    padded = dirs if n % chunk == 0 else np.concatenate(
+        [dirs, np.repeat(dirs[-1:], (-n) % chunk, axis=0)])
+    stacked = jnp.asarray(padded.reshape(-1, chunk, 3))
+    c2w = jnp.asarray(np.stack([spec["c2w"], spec["c2w"]]))
+
+    @jax.jit
+    def render_sum(params, dirs_stacked):
+        out = system.eval_image_device_pose.__wrapped__(
+            system, params, dirs_stacked, c2w, spec["geom"], chunk)
+        return jnp.float32(sum(jnp.sum(v) for v in out.values()))
+
+    t_dev = timed(lambda: float(render_sum(state.params, stacked)),
+                  args.reps)
+    print(f"device-only (scalar readback) @chunk {chunk}: "
+          f"{1e3*t_dev:.1f} ms = {n/t_dev/1e3:.0f} K rays/s")
+
+    def full():
+        out = system.eval_image_device_pose(
+            state.params, stacked, c2w, spec["geom"], chunk)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        return out
+
+    t_full = timed(full, args.reps)
+    print(f"full readback @chunk {chunk}: {1e3*t_full:.1f} ms = "
+          f"{n/t_full/1e3:.0f} K rays/s  "
+          f"(readback+host {1e3*(t_full-t_dev):.1f} ms)")
+
+
+if __name__ == "__main__":
+    main()
