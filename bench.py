@@ -130,6 +130,54 @@ def _config_report(times, n_steps, n_hr_rays, flops_per_ray):
     }
 
 
+class _EvalDS:
+    """Minimal dataset shim for the eval benches: a stable direction
+    grid + synthetic gt, quacking like the device-raygen protocol
+    (``eval_raygen_spec``/``eval_dirs``/``image_rays``)."""
+
+    def __init__(self, n_lr, ds2, seed=1):
+        import numpy as np
+        rng = np.random.RandomState(seed)
+        dirs = rng.randn(n_lr * ds2, 3).astype(np.float32)
+        dirs[:, 2] = -np.abs(dirs[:, 2]) - 0.5  # camera looks down -z
+        self._dirs = dirs
+        self._gt_lr = rng.rand(n_lr, 3).astype(np.float32)
+        self._gt_hr = rng.rand(n_lr, ds2, 3).astype(np.float32)
+
+    def eval_raygen_spec(self, idx):
+        import numpy as np
+        return {"c2w": np.eye(3, 4, dtype=np.float32),
+                "geom": ("world", 0.0, 1.0)}
+
+    def eval_dirs(self):
+        return self._dirs
+
+    def image_rays(self, idx):
+        return {"rgbs": self._gt_lr, "rgbs_ori": self._gt_hr}
+
+
+def _bench_eval_metrics(opt, n_lr, ds2):
+    """Device-metric val throughput: render + PSNR/SSIM in one jit,
+    scalars are the only readback (NeRFSystem.eval_metrics_fast — the
+    validate-loop production path)."""
+    import jax
+
+    from nerfsr_tpu.models import create_model
+
+    system = create_model(opt)
+    state = system.create_state(jax.random.PRNGKey(0),
+                                steps_per_epoch=2000)
+    ds = _EvalDS(n_lr, ds2)
+    m = system.eval_metrics_fast(state.params, ds, 0)  # compile+upload
+    assert m is not None and m["fine_psnr"] == m["fine_psnr"]
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        m = system.eval_metrics_fast(state.params, ds, 0)
+        times.append(time.perf_counter() - t0)
+    return sorted(times)
+
+
 def _bench_eval(opt, n_lr, ds2):
     """Eval render throughput: one flagship-sized image (n_lr * ds^2 HR
     rays) through the production eval path ``render_pose`` — rays are
@@ -310,6 +358,11 @@ def main():
     n_lr_img = (504 * 378) // (ds * ds)
     t_eval = _bench_eval(opt_fast16, n_lr_img, ds * ds)
     eval_rays_per_sec = round(n_lr_img * ds * ds / t_eval[1], 1)
+    # device-metric val path: same render, but PSNR/SSIM reduce on
+    # device and only scalars cross the tunnel (the production validate
+    # loop; the full-image readback above costs more than the render)
+    t_evm = _bench_eval_metrics(opt_fast16, n_lr_img, ds * ds)
+    eval_metrics_rays_per_sec = round(n_lr_img * ds * ds / t_evm[1], 1)
     # eval has no backward: analytic fwd-only FLOPs (train/3)
     eval_flops = _flops_per_hr_ray(opt_fast16) / 3.0
     rep_eval = {
@@ -320,6 +373,16 @@ def main():
         "achieved_tflops": round(
             eval_rays_per_sec * eval_flops / 1e12, 1),
         "mfu_pct": round(100 * eval_rays_per_sec * eval_flops
+                         / _V5E_BF16_PEAK, 1),
+    }
+    rep_evm = {
+        "rays_per_sec": eval_metrics_rays_per_sec,
+        "image_ms": round(1e3 * t_evm[1], 1),
+        "reps_s": [round(t, 4) for t in t_evm],
+        "mflop_per_hr_ray": round(eval_flops / 1e6, 2),
+        "achieved_tflops": round(
+            eval_metrics_rays_per_sec * eval_flops / 1e12, 1),
+        "mfu_pct": round(100 * eval_metrics_rays_per_sec * eval_flops
                          / _V5E_BF16_PEAK, 1),
     }
 
@@ -348,6 +411,7 @@ def main():
         "fast64_rays_per_sec": round(fast_rays_per_sec, 1),
         "parity_path_rays_per_sec": round(parity_rays_per_sec, 1),
         "eval_render_rays_per_sec": eval_rays_per_sec,
+        "eval_metrics_rays_per_sec": eval_metrics_rays_per_sec,
         # Per-config detail: rep spread (sorted 3 reps), per-step time,
         # analytic matmul FLOPs/HR-ray (fwd+bwd=3x fwd, no remat) and
         # the resulting achieved TFLOP/s / MFU vs the v5e's 197 TFLOP/s
@@ -362,6 +426,7 @@ def main():
             "parity": rep_parity,
             "ds4": rep_ds4,
             "eval_render": rep_eval,
+            "eval_metrics_device": rep_evm,
         },
     }))
 

@@ -250,19 +250,26 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
             # writer is a no-op sink on non-master processes).
             if (val_ds is not None and opt.val_freq > 0
                     and global_step % opt.val_freq < k):
-                sample = val_ds.image_rays(0)
-                out = system.render_eval(state.params, val_ds, 0, sample)
-                m = system.eval_metrics(out, sample)
-                writer.add_scalars(m, global_step, prefix="val_iter/")
                 # visuals dumped at the coarser --vis_freq cadence
-                # (reference train.py:111-112).
+                # (reference train.py:111-112); metric-only iterations
+                # use the device metric path (scalar-only readback).
                 vis_freq = getattr(opt, "vis_freq", 0)
-                if vis_freq > 0 and global_step % vis_freq < k \
-                        and is_master():
-                    vis = system.eval_visuals(
-                        out, sample, f"s{global_step}", with_gt=True,
-                        depth_bounds=val_ds.depth_bounds)
-                    save_visuals(vis, _vis_dir(opt, epoch, "iter"))
+                need_vis = (vis_freq > 0
+                            and global_step % vis_freq < k)
+                m = None
+                if not need_vis:
+                    m = system.eval_metrics_fast(state.params, val_ds, 0)
+                if m is None:
+                    sample = val_ds.image_rays(0)
+                    out = system.render_eval(state.params, val_ds, 0,
+                                             sample)
+                    m = system.eval_metrics(out, sample)
+                    if need_vis and is_master():
+                        vis = system.eval_visuals(
+                            out, sample, f"s{global_step}", with_gt=True,
+                            depth_bounds=val_ds.depth_bounds)
+                        save_visuals(vis, _vis_dir(opt, epoch, "iter"))
+                writer.add_scalars(m, global_step, prefix="val_iter/")
                 if is_master():
                     print(f"[val_iter s{global_step}] " + " ".join(
                         f"{kk}={vv:.4g}" for kk, vv in m.items()))
@@ -337,18 +344,35 @@ def validate(opt, system, params, dataset, out_dir=None, max_images=None):
     metrics = []
     visuals = []
     gif_frames = {}
-    for i in range(n):
-        sample = dataset.image_rays(i)
-        out = system.render_eval(params, dataset, i, sample)
-        metrics.append(system.eval_metrics(out, sample))
-        if out_dir is not None:
-            for v in system.eval_visuals(
-                    out, sample, i, with_gt=True,
-                    depth_bounds=dataset.depth_bounds):
-                visuals.append(v)
-                if v.kind == "image":
-                    level = v.name.split("-", 1)[1]
-                    gif_frames.setdefault(level, []).append(v.data)
+    todo = list(range(n))
+    if out_dir is None:
+        # metric-only pass: render + PSNR/SSIM fully on device, a
+        # handful of scalars is the whole readback (the full-image
+        # readback costs more than the render through the tunneled
+        # link — see NeRFSystem.eval_metrics_fast)
+        remaining = []
+        for i in todo:
+            m = system.eval_metrics_fast(params, dataset, i)
+            if m is None:
+                remaining.append(i)
+            else:
+                metrics.append(m)
+        todo = remaining
+    if todo:
+        # readback path (visual dump, host-ray fallback, or
+        # multi-controller mesh), pipelined across views
+        renders = system.render_eval_many(params, dataset, todo)
+        for i, out in zip(todo, renders):
+            sample = dataset.image_rays(i)
+            metrics.append(system.eval_metrics(out, sample))
+            if out_dir is not None:
+                for v in system.eval_visuals(
+                        out, sample, i, with_gt=True,
+                        depth_bounds=dataset.depth_bounds):
+                    visuals.append(v)
+                    if v.kind == "image":
+                        level = v.name.split("-", 1)[1]
+                        gif_frames.setdefault(level, []).append(v.data)
     for level, frames in gif_frames.items():
         if len(frames) > 1:
             visuals.append(Visualizee("gif", frames, name=level))
@@ -548,9 +572,12 @@ def test(opt):
                            f"{opt.test_split}_{opt.load_epoch}")
     visuals = []
     gif_frames = {}
-    for i in range(len(dataset)):
+    # pipelined renders: view i+1 is dispatched while view i's outputs
+    # stream back through the host link (render_eval_many)
+    renders = system.render_eval_many(
+        state.params, dataset, range(len(dataset)))
+    for i, out in enumerate(renders):
         sample = dataset.image_rays(i)
-        out = system.render_eval(state.params, dataset, i, sample)
         with_gt = sample.get("rgbs") is not None
         for v in system.eval_visuals(out, sample, i, with_gt=with_gt,
                                      depth_bounds=dataset.depth_bounds):

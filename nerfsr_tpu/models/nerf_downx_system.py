@@ -313,6 +313,10 @@ class NeRFDownXSystem(NeRFSystem):
             result[k + "_ori"] = self._ungroup(grouped)
         return result
 
+    def _postprocess_eval(self, flat):
+        # pipelined render_eval_many parity with render_eval below
+        return self._post_grouped(flat)
+
     def render_eval(self, params, dataset, idx, sample=None):
         """Device-raygen eval for grouped (downX) datasets: their
         ``eval_dirs`` are pre-permuted to the grouped flatten order, so
@@ -325,6 +329,48 @@ class NeRFDownXSystem(NeRFSystem):
         flat_out = self.render_pose(params, spec_fn(idx),
                                     dataset.eval_dirs())
         return self._post_grouped(flat_out)
+
+    def _metric_gt_pack(self, sample):
+        """Grouped gt: LR pixels + (when supervised HR exists) the HR
+        image ungrouped to scan order on the host at upload time."""
+        if sample.get("rgbs") is None:
+            return None
+        pack = {"gt_lr": np.asarray(sample["rgbs"], np.float32)}
+        if "rgbs_ori" in sample:
+            pack["gt_hr"] = np.asarray(
+                self._ungroup(np.asarray(sample["rgbs_ori"])), np.float32)
+        return pack
+
+    def _metrics_device(self, flat_out, gt_pack):
+        """In-jit twin of ``eval_metrics``: flat grouped-order HR render
+        rows -> LR (subpixel mean) PSNR + HR ``_ori`` PSNR/SSIM."""
+        from nerfsr_tpu.models.criterions import psnr as psnr_fn
+        from nerfsr_tpu.models.criterions import ssim as ssim_fn
+
+        gt_lr = gt_pack["gt_lr"]
+        n_lr = gt_lr.shape[0]
+        ds2 = self.ds2
+        lr, hr = {}, {}
+        for k, v in flat_out.items():
+            grouped = v[:n_lr * ds2].reshape((n_lr, ds2) + v.shape[1:])
+            lr[k] = grouped.mean(axis=1)
+            hr[k] = self._ungroup(grouped)
+        m = {}
+        if "coarse_rgb" in lr:  # absent in --fast_sampling mode
+            m["coarse_psnr"] = psnr_fn(lr["coarse_rgb"], gt_lr)
+        m["fine_psnr"] = psnr_fn(lr["fine_rgb"], gt_lr) \
+            if "fine_rgb" in lr else m["coarse_psnr"]
+        if "gt_hr" in gt_pack:
+            gt_hr = gt_pack["gt_hr"]
+            if "coarse_rgb" in hr:
+                m["coarse_psnr_ori"] = psnr_fn(hr["coarse_rgb"], gt_hr)
+            if "fine_rgb" in hr:
+                m["fine_psnr_ori"] = psnr_fn(hr["fine_rgb"], gt_hr)
+                w, h = self.opt.img_wh
+                m["fine_ssim_ori"] = ssim_fn(
+                    hr["fine_rgb"].reshape(h, w, 3),
+                    gt_hr.reshape(h, w, 3))
+        return m
 
     def eval_metrics(self, out, sample):
         from nerfsr_tpu.models.criterions import ssim as ssim_fn
@@ -399,11 +445,14 @@ class NeRFDownXSystem(NeRFSystem):
 
     def _ungroup(self, grouped):
         """(N_lr, ds^2, ...) -> (H*W, ...) HR scan order (parity:
-        unflatten_reshape einops '(h1 w1)(s1 s2) c -> (h1 s1)(w1 s2) c')."""
+        unflatten_reshape einops '(h1 w1)(s1 s2) c -> (h1 s1)(w1 s2) c').
+        Works on numpy AND traced jax arrays (the device metric path
+        ungroups in-jit)."""
         w, h = self.opt.img_wh
         ds = self.ds
         h1, w1 = h // ds, w // ds
         tail = grouped.shape[2:]
         x = grouped.reshape((h1, w1, ds, ds) + tail)
-        x = np.moveaxis(x, 2, 1)  # (h1, ds, w1, ds, ...)
+        # moveaxis(2, 1): (h1, ds, w1, ds, ...)
+        x = x.transpose((0, 2, 1, 3) + tuple(range(4, x.ndim)))
         return x.reshape((h * w,) + tail)

@@ -616,11 +616,13 @@ class NeRFSystem:
         else:
             if self.opt.ray_chunk != 4096:  # explicitly tuned
                 chunk = self.opt.ray_chunk
-            elif jax.default_backend() != "cpu":
-                # TPU default: fewer, larger chunks (32K rays x 192
-                # samples is ~4.5M points — well within HBM)
-                chunk = 32768
             else:
+                # 4096 on every backend: the whole image renders in ONE
+                # dispatch regardless (lax.map inside the jit), and on
+                # the TPU the measured per-ray rate DROPS with chunk
+                # size (tools/probe_eval_render.py: 1174 K rays/s at
+                # 2048/4096 -> 1087 at 8192 -> 969 at 32768 — large
+                # chunks inherit the large-batch step degradation).
                 chunk = 4096
             if chunk > n:
                 chunk = max(256, -(-n // 256) * 256)
@@ -658,6 +660,16 @@ class NeRFSystem:
           geom: static tuple, ("ndc", h, w, focal, near, far) or
             ("world", near, far).
         """
+        out = self._render_dirs_chunks(params, dirs_stacked, c2w_pair,
+                                       geom, self._EVAL_KEEP)
+        n = dirs_stacked.shape[0] * dirs_stacked.shape[1]
+        return {k: v.reshape((n,) + v.shape[2:]) for k, v in out.items()}
+
+    def _render_dirs_chunks(self, params, dirs_stacked, c2w_pair, geom,
+                            keep):
+        """Shared device-raygen render body (called INSIDE a jit):
+        ``lax.map`` over (n_chunks, chunk, 3) camera-space direction
+        chunks, returning {k: (n_chunks, chunk, ...)} for ``keep``."""
         from nerfsr_tpu.core.rays import get_rays, make_rays, ndc_rays
         from nerfsr_tpu.parallel.mesh import shard_batch
 
@@ -678,11 +690,38 @@ class NeRFSystem:
             rays = make_rays(ro, rd, near, far, vd)
             out = self.render(params, rays, jax.random.PRNGKey(0),
                               randomized=False)
-            return {k: out[k] for k in self._EVAL_KEEP if k in out}
+            return {k: out[k] for k in keep if k in out}
 
-        out = jax.lax.map(render_chunk, dirs_stacked)
-        n = dirs_stacked.shape[0] * dirs_stacked.shape[1]
-        return {k: v.reshape((n,) + v.shape[2:]) for k, v in out.items()}
+        return jax.lax.map(render_chunk, dirs_stacked)
+
+    def _eval_dirs_device(self, dirs_flat, n, chunk):
+        """Upload (and cache) the padded per-dataset direction grid as
+        (n_chunks, chunk, 3) on device. The cache is keyed by shape; the
+        host array is retained in the value and compared by identity, so
+        a recycled object address can never serve a stale grid and a
+        recreated dataset REPLACES the entry (bounded HBM) instead of
+        appending forever."""
+        if not hasattr(self, "_eval_dirs_cache"):
+            self._eval_dirs_cache = {}
+        key = (n, chunk)
+        cached = self._eval_dirs_cache.get(key)
+        if cached is not None and cached[0] is dirs_flat:
+            return cached[1]
+        pad = (-n) % chunk
+        padded = np.concatenate(
+            [dirs_flat, np.repeat(dirs_flat[-1:], pad, axis=0)]) \
+            if pad else dirs_flat
+        stacked = padded.reshape(-1, chunk, 3)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from nerfsr_tpu.parallel.mesh import DATA_AXIS
+            dev = jax.device_put(
+                stacked, NamedSharding(self.mesh,
+                                       PartitionSpec(None, DATA_AXIS)))
+        else:
+            dev = jnp.asarray(stacked)
+        self._eval_dirs_cache[key] = (dirs_flat, dev)
+        return dev
 
     def render_pose(self, params, spec: Dict[str, Any], dirs_flat,
                     chunk: Optional[int] = None) -> Dict[str, np.ndarray]:
@@ -692,36 +731,17 @@ class NeRFSystem:
         dirs_flat = np.asarray(dirs_flat, np.float32)
         n = dirs_flat.shape[0]
         chunk = self._eval_chunk_size(n, chunk)
-        if not hasattr(self, "_eval_dirs_cache"):
-            self._eval_dirs_cache = {}
-        # cache keyed by shape; the host array is retained in the value
-        # and compared by identity, so a recycled object address can
-        # never serve a stale grid and a recreated dataset REPLACES the
-        # entry (bounded HBM) instead of appending forever.
-        key = (n, chunk)
-        cached = self._eval_dirs_cache.get(key)
-        if cached is not None and cached[0] is dirs_flat:
-            dev = cached[1]
-        else:
-            pad = (-n) % chunk
-            padded = np.concatenate(
-                [dirs_flat, np.repeat(dirs_flat[-1:], pad, axis=0)]) \
-                if pad else dirs_flat
-            stacked = padded.reshape(-1, chunk, 3)
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-                from nerfsr_tpu.parallel.mesh import DATA_AXIS
-                dev = jax.device_put(
-                    stacked, NamedSharding(self.mesh,
-                                           PartitionSpec(None, DATA_AXIS)))
-            else:
-                dev = jnp.asarray(stacked)
-            self._eval_dirs_cache[key] = (dirs_flat, dev)
+        dev = self._eval_dirs_device(dirs_flat, n, chunk)
         c2w = np.asarray(spec["c2w"], np.float32)
         vd_c2w = np.asarray(spec.get("vd_c2w", spec["c2w"]), np.float32)
         out = self.eval_image_device_pose(
             params, dev, jnp.asarray(np.stack([c2w, vd_c2w])),
             spec["geom"], chunk)
+        return self._finish_pose(out, n)
+
+    def _finish_pose(self, out, n):
+        """Block on a dispatched pose render: read the device outputs
+        back (or allgather them across controllers) and drop padding."""
         from nerfsr_tpu.parallel.mesh import mesh_spans_processes
         if self.mesh is not None and mesh_spans_processes(self.mesh):
             # multi-controller: the render rows are sharded across
@@ -732,6 +752,46 @@ class NeRFSystem:
         else:
             out = jax.tree_util.tree_map(np.asarray, out)
         return {k: v[:n] for k, v in out.items()}
+
+    def _postprocess_eval(self, flat):
+        """Hook for subclasses that reshape flat render rows (the
+        grouped downX system regroups LR/HR fields)."""
+        return flat
+
+    def render_eval_many(self, params, dataset, indices):
+        """Pipelined multi-view eval: view i+1's render is DISPATCHED
+        before view i's outputs are read back, overlapping device
+        compute with the tunnel transfer — on the tunneled v5e each is
+        roughly half the per-image wall time (67 ms compute vs 98 ms
+        readback for a 504x378 image, tools/probe_eval_render.py), so
+        the overlap approaches 1.6x on multi-image test/spiral renders
+        (the reference's test loop renders up to 120 poses,
+        ``models/nerf_downX_model.py:621-669``).
+
+        Yields the same dicts ``render_eval`` returns, in order.
+        """
+        spec_fn = getattr(dataset, "eval_raygen_spec", None)
+        if spec_fn is None:
+            for i in indices:
+                yield self.render_eval(params, dataset, i)
+            return
+        dirs_flat = np.asarray(dataset.eval_dirs(), np.float32)
+        n = dirs_flat.shape[0]
+        chunk = self._eval_chunk_size(n)
+        dev_dirs = self._eval_dirs_device(dirs_flat, n, chunk)
+        pending = None
+        for i in indices:
+            spec = spec_fn(i)
+            c2w = np.asarray(spec["c2w"], np.float32)
+            vd = np.asarray(spec.get("vd_c2w", spec["c2w"]), np.float32)
+            out = self.eval_image_device_pose(
+                params, dev_dirs, jnp.asarray(np.stack([c2w, vd])),
+                spec["geom"], chunk)
+            if pending is not None:
+                yield self._postprocess_eval(self._finish_pose(pending, n))
+            pending = out
+        if pending is not None:
+            yield self._postprocess_eval(self._finish_pose(pending, n))
 
     def render_eval(self, params, dataset, idx: int,
                     sample=None) -> Dict[str, np.ndarray]:
@@ -746,6 +806,95 @@ class NeRFSystem:
         if sample is None:
             sample = dataset.image_rays(idx)
         return self.render_image(params, sample)
+
+    # ------------------------------------------------------------------
+    # device-side eval metrics: render + PSNR/SSIM in ONE jit, scalars
+    # are the only readback
+    # ------------------------------------------------------------------
+    # Rendered fields the metric computation needs (no depths).
+    _METRIC_KEEP = ("coarse_rgb", "fine_rgb")
+
+    def _metric_gt_pack(self, sample) -> Dict[str, np.ndarray]:
+        """Ground-truth fields ``_metrics_device`` consumes, as host
+        arrays (uploaded once per (dataset, idx) by the cache in
+        ``eval_metrics_fast``)."""
+        if sample.get("rgbs") is None:
+            return None
+        return {"gt": np.asarray(sample["rgbs"], np.float32)}
+
+    def _metrics_device(self, flat_out, gt_pack):
+        """PSNR/SSIM from flat padded render rows, inside the jit.
+        Mirrors ``eval_metrics`` key-for-key."""
+        from nerfsr_tpu.models.criterions import ssim as ssim_fn
+
+        gt = gt_pack["gt"]
+        n = gt.shape[0]
+        m = {}
+        if "coarse_rgb" in flat_out:
+            m["coarse_psnr"] = psnr_fn(flat_out["coarse_rgb"][:n], gt)
+        fine_key = "fine_rgb" if "fine_rgb" in flat_out else "coarse_rgb"
+        m["fine_psnr"] = psnr_fn(flat_out[fine_key][:n], gt)
+        w, h = self.opt.img_wh
+        m["fine_ssim"] = ssim_fn(
+            flat_out[fine_key][:n].reshape(h, w, 3),
+            gt.reshape(h, w, 3))
+        return m
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _eval_metrics_device_pose(self, params, dirs_stacked, c2w_pair,
+                                  geom, gt_pack):
+        out = self._render_dirs_chunks(params, dirs_stacked, c2w_pair,
+                                       geom, self._METRIC_KEEP)
+        flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in out.items()}
+        return self._metrics_device(flat, gt_pack)
+
+    def eval_metrics_fast(self, params, dataset, idx: int):
+        """Metric-only eval of view ``idx`` with device raygen AND
+        device metric reduction: per steady-state image only a 3x4 pose
+        goes up and a handful of scalars come back.
+
+        Rationale (tools/probe_eval_render.py on the tunneled v5e): a
+        504x378 eval render is 67 ms of device compute but 98 ms of
+        rgb+depth readback — the validate loops that only need PSNR/SSIM
+        were paying a 2.5x tunnel tax. Ground truth uploads once per
+        (dataset, view) and is cached device-side (identity-checked
+        against the dataset's stable ``eval_dirs`` grid, same
+        invalidation rule as the dirs cache).
+
+        Returns the same dict as ``eval_metrics`` (floats), or ``None``
+        when the dataset lacks device raygen or the mesh spans processes
+        (the multi-controller path needs the allgathered image) — caller
+        falls back to the readback path.
+        """
+        spec_fn = getattr(dataset, "eval_raygen_spec", None)
+        if spec_fn is None:
+            return None
+        from nerfsr_tpu.parallel.mesh import mesh_spans_processes
+        if self.mesh is not None and mesh_spans_processes(self.mesh):
+            return None
+        dirs_flat = np.asarray(dataset.eval_dirs(), np.float32)
+        n = dirs_flat.shape[0]
+        chunk = self._eval_chunk_size(n)
+        dev = self._eval_dirs_device(dirs_flat, n, chunk)
+        if not hasattr(self, "_eval_gt_cache"):
+            self._eval_gt_cache = {}
+        cached = self._eval_gt_cache.get((idx, n))
+        if cached is not None and cached[0] is dirs_flat:
+            gt_dev = cached[1]
+        else:
+            pack = self._metric_gt_pack(dataset.image_rays(idx))
+            if pack is None:  # no ground truth for this view
+                return None
+            gt_dev = jax.tree_util.tree_map(jnp.asarray, pack)
+            self._eval_gt_cache[(idx, n)] = (dirs_flat, gt_dev)
+        spec = spec_fn(idx)
+        c2w = np.asarray(spec["c2w"], np.float32)
+        vd_c2w = np.asarray(spec.get("vd_c2w", spec["c2w"]), np.float32)
+        m = self._eval_metrics_device_pose(
+            params, dev, jnp.asarray(np.stack([c2w, vd_c2w])),
+            spec["geom"], gt_dev)
+        m = jax.device_get(m)  # ONE readback for all scalars
+        return {k: float(v) for k, v in m.items()}
 
     # ------------------------------------------------------------------
     # eval metrics / visuals (consumed by the engine loops)
