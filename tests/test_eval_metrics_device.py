@@ -98,6 +98,28 @@ def test_downx4_grouped(llff_scene):
     _assert_metrics_match(create_model(opt), create_dataset(opt, "val"))
 
 
+def test_render_eval_many_order(llff_scene):
+    """The pipelined generator must yield exactly render_eval's output
+    for each view, in order (a misaligned pending/yield pairing would
+    silently attach view i's image to view i+1's pose)."""
+    opt = default_options(
+        "train", model="nerf_downX", dataset_mode="llff_downX",
+        dataset_root=llff_scene, img_wh=(24, 24), batch_size=16,
+        downscale=2, **_TINY)
+    system = create_model(opt)
+    ds = create_dataset(opt, "val")
+    n = min(3, len(ds))
+    params = system.init_params(jax.random.PRNGKey(0))
+    many = list(system.render_eval_many(params, ds, range(n)))
+    assert len(many) == n
+    for i in range(n):
+        want = system.render_eval(params, ds, i)
+        assert set(many[i]) == set(want)
+        for k in want:
+            np.testing.assert_allclose(many[i][k], want[k], rtol=1e-5,
+                                       atol=1e-6, err_msg=f"view {i} {k}")
+
+
 def test_validate_uses_fast_path(blender_scene, monkeypatch):
     """engine.validate with out_dir=None routes through
     eval_metrics_fast (and never reads a full image back)."""

@@ -23,8 +23,6 @@ COMMON="--dataset_mode blender_downX --dataset_root $SCENE
   --precision mixed --scan_steps 100 --print_freq 2000 --val_freq 0
   --val_epoch_freq 20 --vis_epoch_freq 0 --save_epoch_freq 20
   --checkpoints_dir $OUT/ckpts --summary_dir $OUT/runs"
-# anneal = half the 20-epoch schedule; steps/epoch printed by the run
-# (~2300 at 30 train views): 23000 total -> anneal 11500
 for SEED in 0 1; do
   echo "=== blender ds4 parity seed $SEED ==="
   python train_blender.py --name bds4-parity-s$SEED $COMMON \
@@ -33,6 +31,6 @@ for SEED in 0 1; do
   python train_blender.py --name bds4-primary-s$SEED $COMMON \
     --N_importance 16 --fast_sampling --n_prop 48 --n_prop_levels 2 \
     --n_prop2 24 --prop_W 48 --prop_D 3 \
-    --prop_pad_anneal 11500 --prop_pad_final 0.0 \
+    --prop_pad_anneal_frac 0.5 --prop_pad_final 0.0 \
     --seed $SEED 2>&1 | tail -4
 done
