@@ -1,12 +1,20 @@
 #!/bin/bash
 # Blender x4 supersampling validation (VERDICT r3 next #5): the
 # reference ships Blender x4 pretrained models (README.md:29-45) and the
-# paper reports Blender x2 AND x4, but only x2 had a quality run here.
-# Runs the blender_downX ds=4 config through train_blender.py (precrop
-# warmup + white bkgd + 16-sub-ray grouping): 400x400 HR rendered,
-# supervised at 100x100 (batch 128 LR px per the reference's ds=4
-# guidance, scripts/train_llff_downX.sh:19), parity vs the NI=16
-# slim+anneal primary, seeds 0+1, full 20-epoch schedule.
+# paper reports Blender x2 AND x4. Runs the blender_downX ds=4 config
+# through train_blender.py (precrop warmup + white bkgd + 16-sub-ray
+# grouping): 400x400 HR rendered, supervised at 100x100 (batch 128 LR px
+# per the reference's ds=4 guidance, scripts/train_llff_downX.sh:19).
+#
+# ROUND-4 FINDING (paired runs, textured 30-view scene, seeds 0+1; the
+# full bracket is in STATUS.md): the LLFF-tuned NI=16 slim+anneal
+# primary FAILS on blender ds4 (-7 dB vs parity) — 360-degree white-bkgd
+# scenes need (a) a PERMANENT resample-pad floor (annealing the pad to
+# zero costs 3 dB: empty/silhouette rays get degenerate CDFs) and (b)
+# more fine samples. The blender fast pick is the two-round
+# --N_importance 48 --n_prop 96 --n_prop2 48 (const pad, default W64/D4
+# prop net): within ~0.2 dB of parity at ~5x its speed. This script runs
+# parity, the blender fast pick, and (for the record) the LLFF primary.
 # Usage: bash tools/run_blender_ds4.sh [outdir]
 set -e
 OUT=${1:-/tmp/blender_ds4}
@@ -27,7 +35,11 @@ for SEED in 0 1; do
   echo "=== blender ds4 parity seed $SEED ==="
   python train_blender.py --name bds4-parity-s$SEED $COMMON \
     --N_importance 64 --seed $SEED 2>&1 | tail -4
-  echo "=== blender ds4 NI=16 primary seed $SEED ==="
+  echo "=== blender ds4 fast pick (NI=48 lv2 96+48) seed $SEED ==="
+  python train_blender.py --name bds4-q48-s$SEED $COMMON \
+    --N_importance 48 --fast_sampling --n_prop 96 --n_prop_levels 2 \
+    --n_prop2 48 --seed $SEED 2>&1 | tail -4
+  echo "=== blender ds4 LLFF-primary NI=16 (EXPECTED to lose ~7 dB) seed $SEED ==="
   python train_blender.py --name bds4-primary-s$SEED $COMMON \
     --N_importance 16 --fast_sampling --n_prop 48 --n_prop_levels 2 \
     --n_prop2 24 --prop_W 48 --prop_D 3 \
