@@ -78,37 +78,18 @@ def _bench_system(opt, buffer, n_steps=50, extra_scans=()):
 
 
 def _flops_per_hr_ray(opt):
-    """Analytic matmul FLOPs per HR ray for one TRAINING step (fwd +
-    bwd = 3x fwd; no remat in the train path). Counts every 2-D kernel
-    in each network's param tree (2*m*n MACs->FLOPs per point) times
-    the points/ray that network evaluates; posenc/composite/resample
-    elementwise work is excluded (<2% at these shapes). Used for the
-    MFU line: achieved TFLOP/s vs the v5e's 197 TFLOP/s bf16 peak."""
+    """Analytic matmul FLOPs per HR ray for one TRAINING step; the
+    formula lives in ``devbench.train_matmul_flops_per_ray`` (shared
+    with the train-loop tflops log). Used for the MFU line: achieved
+    TFLOP/s vs the v5e's 197 TFLOP/s bf16 peak."""
     import jax
-    import numpy as np
 
     from nerfsr_tpu.models import create_model
+    from nerfsr_tpu.utils.devbench import train_matmul_flops_per_ray
 
     system = create_model(opt)
     params = system.init_params(jax.random.PRNGKey(0))
-
-    def per_point(net):
-        return sum(2 * int(np.prod(l.shape))
-                   for l in jax.tree_util.tree_leaves(params[net])
-                   if getattr(l, "ndim", 0) == 2)
-
-    cfg = system.render_cfg
-    if cfg.fast_sampling:
-        prop_pts = cfg.n_prop + (
-            cfg.n_prop2 if cfg.n_prop_levels >= 2 else 0)
-        fwd = prop_pts * per_point("prop") \
-            + cfg.n_importance * per_point("fine")
-    else:
-        # parity: coarse net on n_coarse pts, fine net on the merged
-        # n_coarse + n_importance depths (models/nerf_model.py:207-240)
-        fwd = cfg.n_coarse * per_point("coarse") + (
-            cfg.n_coarse + cfg.n_importance) * per_point("fine")
-    return 3.0 * fwd
+    return train_matmul_flops_per_ray(system.render_cfg, params)
 
 
 _V5E_BF16_PEAK = 197e12
@@ -391,8 +372,10 @@ def main():
                   "--fast_sampling --N_importance 16 --n_prop 48 "
                   "--n_prop_levels 2 --n_prop2 24 --prop_pad_anneal "
                   "half-schedule --prop_W 48 --prop_D 3, at-or-above "
-                  "parity PSNR/SSIM on both benchmark scenes, both "
-                  "seeds)",
+                  "parity PSNR/SSIM on all four forward-facing "
+                  "benchmark scene families x both seeds; 360-degree "
+                  "blender scenes use the NI=48 blender fast pick "
+                  "instead — see STATUS.md)",
         "value": round(fast16_rays_per_sec, 1),
         "unit": "rays/s",
         # vs_baseline divides by an ESTIMATE (the reference publishes

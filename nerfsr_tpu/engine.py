@@ -165,6 +165,14 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
     t_start = time.time()
     last_log_step, last_log_time = global_step, t_start
     rays_per_batch = _rays_per_batch(opt, buffer_np)
+    # analytic matmul FLOPs/ray for the achieved-TFLOP/s log line
+    # (same formula as bench.py's MFU reporting)
+    try:
+        from nerfsr_tpu.utils.devbench import train_matmul_flops_per_ray
+        flops_per_ray = train_matmul_flops_per_ray(
+            system.render_cfg, state.params)
+    except Exception:
+        flops_per_ray = 0
 
     for epoch in range(start_epoch + 1, opt.n_epochs + 1):
         t_epoch = time.time()
@@ -237,6 +245,9 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                 scal["rays_per_sec"] = (
                     (global_step - last_log_step) * rays_per_batch /
                     max(now - last_log_time, 1e-9))
+                tf = scal["rays_per_sec"] * flops_per_ray / 1e12
+                if tf >= 0.1:  # achieved matmul TFLOP/s (197 bf16 peak
+                    scal["tflops"] = round(tf, 1)  # on the v5e)
                 last_log_step, last_log_time = global_step, now
                 writer.add_scalars(scal, global_step, prefix="train/")
                 print(f"[e{epoch} s{global_step}] " + " ".join(

@@ -50,3 +50,35 @@ def grouped_buffer(n_lr: int, ds2: int, seed: int = 0):
         "rgbs_ori": jnp.asarray(
             rng.rand(n_lr, ds2, 3).astype(np.float32)),
     }
+
+
+def train_matmul_flops_per_ray(render_cfg, params):
+    """Analytic matmul FLOPs per ray for one TRAINING step (fwd + bwd =
+    3x fwd; the train path stores activations, no remat). Counts every
+    2-D kernel in each network's param tree (2*m*n MACs -> FLOPs per
+    point) times the points/ray that network evaluates; posenc/
+    composite/resample elementwise work is excluded (<2% at flagship
+    shapes). Shared by bench.py's MFU lines and the train-loop tflops
+    log. Parity sample accounting: the coarse net runs on n_coarse
+    points and the fine net on the MERGED n_coarse + n_importance
+    depths (models/render.py)."""
+    import jax
+    import numpy as np
+
+    def per_point(net):
+        if net not in params:
+            return 0
+        return sum(2 * int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(params[net])
+                   if getattr(l, "ndim", 0) == 2)
+
+    if render_cfg.fast_sampling:
+        prop_pts = render_cfg.n_prop + (
+            render_cfg.n_prop2 if render_cfg.n_prop_levels >= 2 else 0)
+        fwd = prop_pts * per_point("prop") \
+            + render_cfg.n_importance * per_point("fine")
+    else:
+        fwd = render_cfg.n_coarse * per_point("coarse") + (
+            render_cfg.n_coarse + render_cfg.n_importance) \
+            * per_point("fine")
+    return 3.0 * fwd

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--chunks", type=int, nargs="+",
                     default=[2048, 4096, 8192, 16384, 32768])
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--poses", type=int, default=8,
+                    help="multi-view loop length for the pipeline A/B")
     args = ap.parse_args()
 
     from nerfsr_tpu.config import default_options
@@ -106,6 +108,55 @@ def main():
     print(f"full readback @chunk {chunk}: {1e3*t_full:.1f} ms = "
           f"{n/t_full/1e3:.0f} K rays/s  "
           f"(readback+host {1e3*(t_full-t_dev):.1f} ms)")
+
+    # pipelined multi-view path (render_eval_many): dispatch view i+1
+    # before view i's readback — compute should overlap the transfer.
+    k = args.poses
+
+    class _DS:
+        def eval_raygen_spec(self, idx):
+            return {"c2w": np.eye(3, 4, dtype=np.float32),
+                    "geom": ("world", 0.0, 1.0)}
+
+        def eval_dirs(self_inner):
+            return dirs
+
+    ds_obj = _DS()
+
+    def serial():
+        for i in range(k):
+            system.render_eval(state.params, ds_obj, i)
+
+    def pipelined():
+        for _ in system.render_eval_many(state.params, ds_obj, range(k)):
+            pass
+
+    t_ser = timed(serial, max(2, args.reps // 2))
+    t_pipe = timed(pipelined, max(2, args.reps // 2))
+    print(f"{k}-pose loop serial render_eval: {1e3*t_ser:.0f} ms "
+          f"({1e3*t_ser/k:.1f} ms/img, {k*n/t_ser/1e3:.0f} K rays/s)")
+    print(f"{k}-pose loop render_eval_many:   {1e3*t_pipe:.0f} ms "
+          f"({1e3*t_pipe/k:.1f} ms/img, {k*n/t_pipe/1e3:.0f} K rays/s, "
+          f"{t_ser/t_pipe:.2f}x)")
+
+    # device-metric path (eval_metrics_fast): scalars only. downX gt is
+    # LR pixels (n / ds^2 rows); omit rgbs_ori (metrics then reduce to
+    # the LR PSNR — the render dominates the timing either way).
+    class _MDS(_DS):
+        def image_rays(self, idx):
+            rng2 = np.random.RandomState(2)
+            return {"rgbs": rng2.rand(n // (ds * ds),
+                                      3).astype(np.float32)}
+
+    mds = _MDS()
+
+    def metrics():
+        m = system.eval_metrics_fast(state.params, mds, 0)
+        assert m is not None
+
+    t_m = timed(metrics, args.reps)
+    print(f"eval_metrics_fast (device PSNR/SSIM, scalar readback): "
+          f"{1e3*t_m:.1f} ms/img = {n/t_m/1e3:.0f} K rays/s")
 
 
 if __name__ == "__main__":
