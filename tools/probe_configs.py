@@ -1,10 +1,13 @@
 #!/usr/bin/env python
-"""Quick scan50 throughput probe over fast-sampling configs.
+"""Quick throughput probe over fast-sampling configs (600-step scans).
 
-Times the same compiled 50-step scan bench.py uses (devbench.
-grouped_buffer shapes) for a list of (N_importance, n_prop,
-n_prop_levels, n_prop2) candidates — used for proposal-budget
-reallocation experiments (VERDICT r2 'next' #5).
+Times one compiled scan at devbench.grouped_buffer shapes for a list
+of (N_importance, n_prop, n_prop_levels, n_prop2) candidates.
+ROUND-4 NOTE: scans are 600 steps now (was 50) — the tunnel adds a
+FIXED 30-56 ms dispatch+readback overhead per scan call, so scan50
+readings under-report fast configs ~40% (see bench.py / README
+timing-provenance); numbers from the scan50 era are NOT comparable.
+Used for proposal-budget reallocation experiments (VERDICT r2 #5).
 
 Usage: python tools/probe_configs.py "24,48,2,24" "24,48,2,32" ...
        (each arg: NI,np,levels,np2[,prop_W[,prop_D[,deg_prop]]]; the
@@ -35,7 +38,7 @@ def main():
 
     enable_compile_cache()
     grouped = grouped_buffer(1 << 16, 4)
-    n_steps = 50
+    n_steps = 600
     for cand in cands:
         ni, np_, lv, np2 = cand[:4]
         pw = cand[4] if len(cand) > 4 else 64

@@ -33,7 +33,8 @@ def main():
 
     enable_compile_cache()
     grouped = grouped_buffer(1 << 16, 4)
-    n_steps = 50
+    n_steps = 600  # round-4: scan50 under-reports ~40% (fixed 30-56 ms
+    # dispatch+readback overhead per scan call; see bench.py provenance)
     for cand in cands:
         ni, np_, lv, np2 = cand[:4]
         batch = cand[4] if len(cand) > 4 else 512
