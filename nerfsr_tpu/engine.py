@@ -352,30 +352,35 @@ def validate(opt, system, params, dataset, out_dir=None, max_images=None):
     n = len(dataset)
     if max_images:
         n = min(n, max_images)
-    metrics = []
+    # metric pass: render + PSNR/SSIM fully on device, a handful of
+    # scalars is the whole readback (the full-image readback costs more
+    # than the render through the tunneled link — see
+    # NeRFSystem.eval_metrics_fast); views the device path can't serve
+    # (host-ray fallback, multi-controller mesh, missing gt) fall back
+    # to host metrics off the readback render below.
+    metrics = {}
     visuals = []
     gif_frames = {}
-    todo = list(range(n))
-    if out_dir is None:
-        # metric-only pass: render + PSNR/SSIM fully on device, a
-        # handful of scalars is the whole readback (the full-image
-        # readback costs more than the render through the tunneled
-        # link — see NeRFSystem.eval_metrics_fast)
-        remaining = []
-        for i in todo:
-            m = system.eval_metrics_fast(params, dataset, i)
-            if m is None:
-                remaining.append(i)
-            else:
-                metrics.append(m)
-        todo = remaining
+    host_metric = []
+    for i in range(n):
+        m = system.eval_metrics_fast(params, dataset, i)
+        if m is None:
+            host_metric.append(i)
+        else:
+            metrics[i] = m
+    todo = list(range(n)) if out_dir is not None else host_metric
     if todo:
-        # readback path (visual dump, host-ray fallback, or
-        # multi-controller mesh), pipelined across views
-        renders = system.render_eval_many(params, dataset, todo)
+        # readback path (visual dump or host-metric fallback), pipelined
+        # across views. When every metric already came from the device
+        # path the renders feed PNGs only — quantized readback (uint8
+        # rgb, PNG-identical bytes, 1/4 the tunnel payload).
+        quant = out_dir is not None and not host_metric
+        renders = system.render_eval_many(params, dataset, todo,
+                                          quantize_rgb=quant)
         for i, out in zip(todo, renders):
             sample = dataset.image_rays(i)
-            metrics.append(system.eval_metrics(out, sample))
+            if i not in metrics:
+                metrics[i] = system.eval_metrics(out, sample)
             if out_dir is not None:
                 for v in system.eval_visuals(
                         out, sample, i, with_gt=True,
@@ -384,6 +389,7 @@ def validate(opt, system, params, dataset, out_dir=None, max_images=None):
                     if v.kind == "image":
                         level = v.name.split("-", 1)[1]
                         gif_frames.setdefault(level, []).append(v.data)
+    metrics = [metrics[i] for i in sorted(metrics)]
     for level, frames in gif_frames.items():
         if len(frames) > 1:
             visuals.append(Visualizee("gif", frames, name=level))
@@ -584,9 +590,12 @@ def test(opt):
     visuals = []
     gif_frames = {}
     # pipelined renders: view i+1 is dispatched while view i's outputs
-    # stream back through the host link (render_eval_many)
+    # stream back through the host link (render_eval_many). The test
+    # loop computes no metrics — rgb ships back display-quantized
+    # (uint8, PNG-identical bytes, 1/4 the tunnel payload); depth stays
+    # f32 for the warp/refine npz artifacts.
     renders = system.render_eval_many(
-        state.params, dataset, range(len(dataset)))
+        state.params, dataset, range(len(dataset)), quantize_rgb=True)
     for i, out in enumerate(renders):
         sample = dataset.image_rays(i)
         with_gt = sample.get("rgbs") is not None

@@ -303,13 +303,21 @@ class NeRFDownXSystem(NeRFSystem):
 
     def _post_grouped(self, out):
         """Flat grouped-order render rows -> LR (subpixel mean) + HR
-        ``*_ori`` (ungrouped to scan order) fields."""
+        ``*_ori`` (ungrouped to scan order) fields. Display-quantized
+        uint8 rgb (``quantize_rgb`` readback) keeps the HR ``_ori``
+        field uint8 (PNG-identical bytes) and computes the LR subpixel
+        mean in f32/[0,1] from the quantized values (visual-strip use
+        only; the mean of quantized subpixels differs from the
+        quantized mean by <= 0.5/255 per channel)."""
         ds2 = self.ds2
         result = {}
         n_lr = next(iter(out.values())).shape[0] // ds2
         for k, v in out.items():
             grouped = v.reshape((n_lr, ds2) + v.shape[1:])
-            result[k] = grouped.mean(axis=1)
+            if grouped.dtype == np.uint8:
+                result[k] = grouped.astype(np.float32).mean(axis=1) / 255.0
+            else:
+                result[k] = grouped.mean(axis=1)
             result[k + "_ori"] = self._ungroup(grouped)
         return result
 
@@ -419,7 +427,7 @@ class NeRFDownXSystem(NeRFSystem):
                 parts.append(sample["rgbs"].reshape(hl, wl, 3))
             parts.append(depth)
             vis.append(Visualizee(
-                "image", np.concatenate(parts, 1), name=f"{idx}-{level}",
+                "image", self._vis_strip(parts), name=f"{idx}-{level}",
                 range=(0, 1)))
             # HR (-ori) strip — `{i}-fine-ori.png` feeds the refinement
             # stage (reference :655-661)
@@ -432,7 +440,7 @@ class NeRFDownXSystem(NeRFSystem):
                     sample["rgbs_ori"]).reshape(h, w, 3))
             parts.append(depth_o)
             vis.append(Visualizee(
-                "image", np.concatenate(parts, 1),
+                "image", self._vis_strip(parts),
                 name=f"{idx}-{level}-ori", range=(0, 1)))
             # depth matrices (npz + colormap png)
             vis.append(Visualizee(

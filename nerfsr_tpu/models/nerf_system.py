@@ -637,9 +637,9 @@ class NeRFSystem:
     # per-image transfer).
     _EVAL_KEEP = ("coarse_rgb", "coarse_depth", "fine_rgb", "fine_depth")
 
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5))
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
     def eval_image_device_pose(self, params, dirs_stacked, c2w_pair,
-                               geom, chunk: int):
+                               geom, chunk: int, quantize_rgb: bool = False):
         """Render a whole eval image ON DEVICE from camera geometry alone.
 
         TPU-native eval raygen: the per-pixel camera-space direction grid
@@ -662,6 +662,18 @@ class NeRFSystem:
         """
         out = self._render_dirs_chunks(params, dirs_stacked, c2w_pair,
                                        geom, self._EVAL_KEEP)
+        if quantize_rgb:
+            # display-quantize rgb ON DEVICE before the readback: the
+            # artifact pipelines save rgb as 8-bit PNGs anyway, and the
+            # floor conversion here matches the visualizer's
+            # ``_to_uint8`` bit-exactly (same f32 values, same IEEE
+            # multiply, same truncation), so the saved bytes are
+            # identical while the tunnel ships 1/4 of the rgb payload.
+            # Depth stays f32 — warp/refine consume real depth values.
+            out = {k: ((jnp.clip(v.astype(jnp.float32), 0.0, 1.0)
+                        * 255).astype(jnp.uint8)
+                       if k.endswith("_rgb") else v)
+                   for k, v in out.items()}
         n = dirs_stacked.shape[0] * dirs_stacked.shape[1]
         return {k: v.reshape((n,) + v.shape[2:]) for k, v in out.items()}
 
@@ -724,10 +736,13 @@ class NeRFSystem:
         return dev
 
     def render_pose(self, params, spec: Dict[str, Any], dirs_flat,
-                    chunk: Optional[int] = None) -> Dict[str, np.ndarray]:
+                    chunk: Optional[int] = None,
+                    quantize_rgb: bool = False) -> Dict[str, np.ndarray]:
         """Host wrapper for ``eval_image_device_pose``: pads/uploads the
         direction grid once per dataset (cached), ships only the pose per
-        image. ``spec`` comes from ``dataset.eval_raygen_spec(idx)``."""
+        image. ``spec`` comes from ``dataset.eval_raygen_spec(idx)``.
+        ``quantize_rgb=True`` ships rgb back as uint8 (PNG-identical;
+        artifact loops only — metrics must use the f32 path)."""
         dirs_flat = np.asarray(dirs_flat, np.float32)
         n = dirs_flat.shape[0]
         chunk = self._eval_chunk_size(n, chunk)
@@ -736,7 +751,7 @@ class NeRFSystem:
         vd_c2w = np.asarray(spec.get("vd_c2w", spec["c2w"]), np.float32)
         out = self.eval_image_device_pose(
             params, dev, jnp.asarray(np.stack([c2w, vd_c2w])),
-            spec["geom"], chunk)
+            spec["geom"], chunk, quantize_rgb)
         return self._finish_pose(out, n)
 
     def _finish_pose(self, out, n):
@@ -758,7 +773,8 @@ class NeRFSystem:
         grouped downX system regroups LR/HR fields)."""
         return flat
 
-    def render_eval_many(self, params, dataset, indices):
+    def render_eval_many(self, params, dataset, indices,
+                         quantize_rgb: bool = False):
         """Pipelined multi-view eval: view i+1's render is DISPATCHED
         before view i's outputs are read back, overlapping device
         compute with the tunnel transfer — on the tunneled v5e each is
@@ -766,7 +782,9 @@ class NeRFSystem:
         readback for a 504x378 image, tools/probe_eval_render.py), so
         the overlap approaches 1.6x on multi-image test/spiral renders
         (the reference's test loop renders up to 120 poses,
-        ``models/nerf_downX_model.py:621-669``).
+        ``models/nerf_downX_model.py:621-669``). ``quantize_rgb=True``
+        additionally ships rgb as uint8 (see ``render_pose``) — for
+        artifact-only loops where the readback is the bottleneck.
 
         Yields the same dicts ``render_eval`` returns, in order.
         """
@@ -786,7 +804,7 @@ class NeRFSystem:
             vd = np.asarray(spec.get("vd_c2w", spec["c2w"]), np.float32)
             out = self.eval_image_device_pose(
                 params, dev_dirs, jnp.asarray(np.stack([c2w, vd])),
-                spec["geom"], chunk)
+                spec["geom"], chunk, quantize_rgb)
             if pending is not None:
                 yield self._postprocess_eval(self._finish_pose(pending, n))
             pending = out
@@ -918,6 +936,18 @@ class NeRFSystem:
             jnp.asarray(gt.reshape(h, w, 3))))
         return m
 
+    @staticmethod
+    def _vis_strip(parts):
+        """Concatenate [pred | gt | depth] parts into one strip. When the
+        prediction arrived display-quantized (uint8 readback), the other
+        parts are quantized with the visualizer's exact conversion and
+        the strip stays uint8 end to end — the saved PNG bytes match the
+        f32 path's."""
+        from nerfsr_tpu.utils.visualizer import _to_uint8
+        if any(np.asarray(p).dtype == np.uint8 for p in parts):
+            parts = [_to_uint8(p) for p in parts]
+        return np.concatenate(parts, axis=1)
+
     def eval_visuals(self, out, sample, idx, with_gt, depth_bounds):
         """[pred | gt | depth] strips per level (parity:
         ``models/nerf_model.py:333-346`` calculate_vis)."""
@@ -938,7 +968,7 @@ class NeRFSystem:
                 parts.append(sample["rgbs"].reshape(h, w, 3))
             parts.append(depth)
             vis.append(Visualizee(
-                "image", np.concatenate(parts, axis=1),
+                "image", self._vis_strip(parts),
                 name=f"{idx}-{level}", range=(0, 1)))
         return vis
 

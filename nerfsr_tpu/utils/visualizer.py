@@ -40,7 +40,13 @@ class Visualizee:
 
 
 def _to_uint8(img, rng=(0, 1)):
-    img = np.asarray(img, np.float32)
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        # already display-quantized (device-side quantized eval readback,
+        # NeRFSystem.render_pose(quantize_rgb=True)) — pass through so the
+        # saved bytes match the f32 path's floor conversion exactly
+        return img
+    img = img.astype(np.float32)
     lo, hi = rng
     img = (img - lo) / (hi - lo + 1e-12)
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
