@@ -33,24 +33,51 @@ def _path(opt, epoch, name=None):
     return os.path.join(d, f"{epoch}_state.msgpack")
 
 
+def _atomic_write(path: str, blob: bytes) -> None:
+    """Write-to-tmp + fsync + ``os.replace`` so a crash mid-write can
+    never leave a torn file at ``path`` (the reference writes in place,
+    ``models/base_model.py:181-196``, so a crash corrupts ``latest``)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def save_checkpoint(opt, state, epoch) -> str:
     """Save params+opt_state+step as ``{epoch}_state.msgpack`` and refresh
     ``latest_state.msgpack`` (parity: save_networks + the latest copy,
-    ``models/base_model.py:181-196``, ``train.py:133-136``)."""
+    ``models/base_model.py:181-196``, ``train.py:133-136``). Both writes
+    are atomic (tmp + rename), so ``--continue_train`` always finds a
+    loadable ``latest`` even if the process dies mid-save."""
     os.makedirs(_ckpt_dir(opt), exist_ok=True)
     state = jax.device_get(state)
     blob = flax.serialization.to_bytes(state)
     path = _path(opt, epoch)
-    with open(path, "wb") as f:
-        f.write(blob)
-    with open(_path(opt, "latest"), "wb") as f:
-        f.write(blob)
+    _atomic_write(path, blob)
+    _atomic_write(_path(opt, "latest"), blob)
     return path
 
 
+def checkpoint_is_valid(path: str) -> bool:
+    """Cheap integrity check: the blob must parse as msgpack end to end.
+
+    Files written by ``save_checkpoint`` are atomic, so torn files only
+    arise from older writers or external truncation — but resume must
+    never pick one (``find_resume_epoch`` skips invalid candidates)."""
+    try:
+        with open(path, "rb") as f:
+            flax.serialization.msgpack_restore(f.read())
+        return True
+    except Exception:
+        return False
+
+
 def find_resume_epoch(opt) -> Optional[int]:
-    """Latest saved integer epoch (parity: the max-epoch scan in
-    ``models/base_model.py:89-94``)."""
+    """Latest saved integer epoch whose file is loadable (parity: the
+    max-epoch scan in ``models/base_model.py:89-94``; torn/corrupt files
+    are skipped instead of crashing resume)."""
     d = _ckpt_dir(opt)
     if not os.path.isdir(d):
         return None
@@ -59,7 +86,10 @@ def find_resume_epoch(opt) -> Optional[int]:
         m = re.match(r"(\d+)_state\.msgpack$", fn)
         if m:
             epochs.append(int(m.group(1)))
-    return max(epochs) if epochs else None
+    for epoch in sorted(epochs, reverse=True):
+        if checkpoint_is_valid(_path(opt, epoch)):
+            return epoch
+    return None
 
 
 def load_checkpoint(opt, state_template, epoch=None, name=None):
@@ -72,6 +102,13 @@ def load_checkpoint(opt, state_template, epoch=None, name=None):
     path = _path(opt, epoch, name)
     if not os.path.exists(path):
         raise FileNotFoundError(path)
+    if epoch == "latest" and name is None and not checkpoint_is_valid(path):
+        # A torn ``latest`` (pre-atomic writer / external truncation):
+        # fall back to the newest intact epoch file instead of crashing.
+        fallback = find_resume_epoch(opt)
+        if fallback is None:
+            raise OSError(f"corrupt checkpoint {path} and no valid fallback")
+        path = _path(opt, fallback)
     with open(path, "rb") as f:
         return flax.serialization.from_bytes(state_template, f.read())
 

@@ -83,6 +83,68 @@ class TestCheckpoint:
         for b, m in zip(b_fine, m_fine):
             np.testing.assert_array_equal(np.asarray(b), np.asarray(m))
 
+    def test_atomic_save_survives_kill_mid_write(self, tmp_path, monkeypatch):
+        """Crash during save must never corrupt an existing ``latest``:
+        writes go to a tmp file and only an atomic os.replace publishes
+        them (VERDICT r4 weak #6; reference writes in place,
+        models/base_model.py:181-196)."""
+        opt = tiny_opt(tmp_path)
+        sys_ = create_model(opt)
+        state = sys_.create_state(jax.random.PRNGKey(0), 10)
+        ckpt.save_checkpoint(opt, state, epoch=1)
+        template = sys_.create_state(jax.random.PRNGKey(9), 10)
+        before = ckpt.load_checkpoint(opt, template, epoch="latest")
+
+        # Simulate a kill between the tmp write and the rename: the tmp
+        # file exists (possibly torn) but os.replace never ran.
+        state2 = sys_.create_state(jax.random.PRNGKey(3), 10)
+        real_replace = os.replace
+
+        def dying_replace(src, dst):
+            raise KeyboardInterrupt("killed mid-save")
+
+        monkeypatch.setattr(os, "replace", dying_replace)
+        with pytest.raises(KeyboardInterrupt):
+            ckpt.save_checkpoint(opt, state2, epoch=2)
+        monkeypatch.setattr(os, "replace", real_replace)
+
+        # latest still loads and holds the PRE-crash params.
+        after = ckpt.load_checkpoint(opt, template, epoch="latest")
+        for a, b in zip(jax.tree_util.tree_leaves(before.params),
+                        jax.tree_util.tree_leaves(after.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the torn epoch-2 candidate (tmp only) is invisible to resume
+        assert ckpt.find_resume_epoch(opt) == 1
+
+    def test_find_resume_epoch_skips_torn_files(self, tmp_path):
+        """A truncated epoch file (older writer / external damage) is
+        skipped by find_resume_epoch; a torn ``latest`` falls back to
+        the newest intact epoch instead of crashing."""
+        opt = tiny_opt(tmp_path)
+        sys_ = create_model(opt)
+        state = sys_.create_state(jax.random.PRNGKey(0), 10)
+        ckpt.save_checkpoint(opt, state, epoch=3)
+
+        d = os.path.join(str(tmp_path), "ck")
+        good = os.path.join(d, "3_state.msgpack")
+        blob = open(good, "rb").read()
+        # torn epoch-7 file: resume must skip it and return 3
+        with open(os.path.join(d, "7_state.msgpack"), "wb") as f:
+            f.write(blob[: len(blob) // 2])
+        assert not ckpt.checkpoint_is_valid(
+            os.path.join(d, "7_state.msgpack"))
+        assert ckpt.checkpoint_is_valid(good)
+        assert ckpt.find_resume_epoch(opt) == 3
+
+        # torn latest: load_checkpoint('latest') falls back to epoch 3
+        with open(os.path.join(d, "latest_state.msgpack"), "wb") as f:
+            f.write(blob[: len(blob) // 2])
+        template = sys_.create_state(jax.random.PRNGKey(9), 10)
+        restored = ckpt.load_checkpoint(opt, template, epoch="latest")
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_fix_layers_mask(self, tmp_path):
         opt = tiny_opt(tmp_path, fix_layers="coarse")
         sys_ = create_model(opt)
