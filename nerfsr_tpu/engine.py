@@ -373,13 +373,17 @@ def validate(opt, system, params, dataset, out_dir=None, max_images=None):
         # readback path (visual dump or host-metric fallback), pipelined
         # across views. When every metric already came from the device
         # path the renders feed PNGs only — quantized readback (uint8
-        # rgb, PNG-identical bytes, 1/4 the tunnel payload).
+        # rgb, 1/4 the tunnel payload). HR and `_ori` strips are
+        # byte-identical to the f32 path; the downX LR preview strips
+        # may deviate <=1 LSB (mean-of-quantized-subpixels, see
+        # NeRFDownXSystem._post_grouped). Metrics never see quantized
+        # values.
         quant = out_dir is not None and not host_metric
         renders = system.render_eval_many(params, dataset, todo,
                                           quantize_rgb=quant)
         for i, out in zip(todo, renders):
             sample = dataset.image_rays(i)
-            if i not in metrics:
+            if i not in metrics and sample.get("rgbs") is not None:
                 metrics[i] = system.eval_metrics(out, sample)
             if out_dir is not None:
                 for v in system.eval_visuals(
@@ -395,6 +399,8 @@ def validate(opt, system, params, dataset, out_dir=None, max_images=None):
             visuals.append(Visualizee("gif", frames, name=level))
     if out_dir is not None and visuals:
         save_visuals(visuals, out_dir)
+    if not metrics:  # gt-less dataset (e.g. spiral path): visuals only
+        return {}
     return {k: float(np.mean([m[k] for m in metrics]))
             for k in metrics[0]}
 
@@ -592,8 +598,10 @@ def test(opt):
     # pipelined renders: view i+1 is dispatched while view i's outputs
     # stream back through the host link (render_eval_many). The test
     # loop computes no metrics — rgb ships back display-quantized
-    # (uint8, PNG-identical bytes, 1/4 the tunnel payload); depth stays
-    # f32 for the warp/refine npz artifacts.
+    # (uint8, 1/4 the tunnel payload); HR and `_ori` PNG bytes are
+    # identical to the f32 path (the downX LR preview strips may
+    # deviate <=1 LSB — see NeRFDownXSystem._post_grouped); depth
+    # stays f32 for the warp/refine npz artifacts.
     renders = system.render_eval_many(
         state.params, dataset, range(len(dataset)), quantize_rgb=True)
     for i, out in enumerate(renders):

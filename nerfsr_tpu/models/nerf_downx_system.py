@@ -427,8 +427,8 @@ class NeRFDownXSystem(NeRFSystem):
                 parts.append(sample["rgbs"].reshape(hl, wl, 3))
             parts.append(depth)
             vis.append(Visualizee(
-                "image", self._vis_strip(parts), name=f"{idx}-{level}",
-                range=(0, 1)))
+                "image", self._vis_strip(parts, rng=(0, 1)),
+                name=f"{idx}-{level}", range=(0, 1)))
             # HR (-ori) strip — `{i}-fine-ori.png` feeds the refinement
             # stage (reference :655-661)
             img_o = out[f"{level}_rgb_ori"].reshape(h, w, 3)
@@ -440,7 +440,7 @@ class NeRFDownXSystem(NeRFSystem):
                     sample["rgbs_ori"]).reshape(h, w, 3))
             parts.append(depth_o)
             vis.append(Visualizee(
-                "image", self._vis_strip(parts),
+                "image", self._vis_strip(parts, rng=(0, 1)),
                 name=f"{idx}-{level}-ori", range=(0, 1)))
             # depth matrices (npz + colormap png)
             vis.append(Visualizee(

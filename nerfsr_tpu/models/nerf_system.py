@@ -605,12 +605,12 @@ class NeRFSystem:
     def _eval_chunk_size(self, n: int, override: Optional[int] = None):
         """Pick the eval ray-chunk size.
 
-        Honors an explicit ``--ray_chunk``; bumps the untouched default
-        (4096) to 32768 on accelerators (fewer serial ``lax.map`` steps
-        + dispatches through the host link); shrinks to one 256-aligned
-        chunk when the image is smaller than the chunk (a 16x16 image
-        must not render 32768 padded rays); and rounds up to the mesh
-        device count so sharded eval divides evenly."""
+        Honors an explicit ``--ray_chunk`` or ``override``; otherwise
+        keeps the measured-optimal 4096 (see the inline note); shrinks
+        to one 256-aligned chunk when the image is smaller than the
+        chunk (a 16x16 image must not render 32768 padded rays); and
+        rounds up to the mesh device count so sharded eval divides
+        evenly."""
         if override is not None:
             chunk = override
         else:
@@ -937,15 +937,17 @@ class NeRFSystem:
         return m
 
     @staticmethod
-    def _vis_strip(parts):
+    def _vis_strip(parts, rng=(0, 1)):
         """Concatenate [pred | gt | depth] parts into one strip. When the
         prediction arrived display-quantized (uint8 readback), the other
         parts are quantized with the visualizer's exact conversion and
         the strip stays uint8 end to end — the saved PNG bytes match the
-        f32 path's."""
+        f32 path's. ``rng`` must be the range the caller puts on the
+        resulting ``Visualizee`` — it is forwarded to ``_to_uint8`` so
+        the strip conversion and the Visualizee range cannot diverge."""
         from nerfsr_tpu.utils.visualizer import _to_uint8
         if any(np.asarray(p).dtype == np.uint8 for p in parts):
-            parts = [_to_uint8(p) for p in parts]
+            parts = [_to_uint8(p, rng) for p in parts]
         return np.concatenate(parts, axis=1)
 
     def eval_visuals(self, out, sample, idx, with_gt, depth_bounds):
@@ -968,7 +970,7 @@ class NeRFSystem:
                 parts.append(sample["rgbs"].reshape(h, w, 3))
             parts.append(depth)
             vis.append(Visualizee(
-                "image", self._vis_strip(parts),
+                "image", self._vis_strip(parts, rng=(0, 1)),
                 name=f"{idx}-{level}", range=(0, 1)))
         return vis
 

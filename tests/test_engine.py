@@ -91,6 +91,49 @@ class TestEngineTrain:
                               "latest_state.msgpack")
 
 
+class TestValidateGtless:
+    def test_validate_empty_metrics_returns_empty(self, llff_scene,
+                                                  tmp_path):
+        """validate() on a gt-less dataset (e.g. a spiral render path)
+        must return {} and still dump visuals, not crash on metrics[0]
+        (VERDICT r4 weak #7)."""
+        import jax
+        from nerfsr_tpu import engine
+        from nerfsr_tpu.models import create_model
+
+        opt = default_options(
+            "train", model="nerf", dataset_mode="llff",
+            dataset_root=llff_scene, img_wh=(24, 24), batch_size=32,
+            N_coarse=4, N_importance=4, D=2, W=16, deg_pos=2, deg_dir=1,
+            precision="f32", white_bkgd=False, noise_std=0.0)
+        system = create_model(opt)
+        ds = create_dataset(opt, "val")
+        params = system.init_params(jax.random.PRNGKey(0))
+
+        class GtlessDS:
+            depth_bounds = ds.depth_bounds
+
+            def __len__(self):
+                return 1
+
+            def eval_raygen_spec(self, idx):
+                return ds.eval_raygen_spec(idx)
+
+            def eval_dirs(self):
+                return ds.eval_dirs()
+
+            def image_rays(self, idx):
+                s = dict(ds.image_rays(idx))
+                s["rgbs"] = None
+                return s
+
+        out = tmp_path / "gtless_vis"
+        metrics = engine.validate(opt, system, params, GtlessDS(),
+                                  out_dir=str(out))
+        assert metrics == {}
+        assert any(out.iterdir())  # visuals still written
+
+
 class TestSphericAndViewdir:
     def test_spheric_poses_bounds_and_path(self, llff_scene):
         opt = default_options(

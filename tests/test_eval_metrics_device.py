@@ -120,6 +120,101 @@ def test_render_eval_many_order(llff_scene):
                                        atol=1e-6, err_msg=f"view {i} {k}")
 
 
+def test_quantized_readback_artifacts(llff_scene):
+    """The uint8 eval readback (quantize_rgb=True) feeds the
+    ``{i}-fine-ori.png`` artifacts the refinement stage consumes: the
+    HR ``_ori`` strips must be BYTE-identical to the f32 path's saved
+    bytes, and the downX LR preview strips within 1 LSB (the documented
+    mean-of-quantized-subpixels deviation, _post_grouped)."""
+    from nerfsr_tpu.utils.visualizer import _to_uint8
+
+    opt = default_options(
+        "train", model="nerf_downX", dataset_mode="llff_downX",
+        dataset_root=llff_scene, img_wh=(24, 24), batch_size=16,
+        downscale=2, **_TINY)
+    system = create_model(opt)
+    ds = create_dataset(opt, "val")
+    params = system.init_params(jax.random.PRNGKey(0))
+    sample = ds.image_rays(0)
+
+    out32 = system.render_eval(params, ds, 0)
+    outq = next(iter(system.render_eval_many(params, ds, [0],
+                                             quantize_rgb=True)))
+    # depth must NOT be quantized (warp/refine consume real values)
+    for k in outq:
+        if "depth" in k:
+            assert outq[k].dtype == np.float32, k
+            np.testing.assert_allclose(outq[k], out32[k], rtol=1e-5,
+                                       atol=1e-6, err_msg=k)
+    # _ori rgb comes back uint8 and matches the f32 path's quantization
+    assert outq["fine_rgb_ori"].dtype == np.uint8
+    np.testing.assert_array_equal(
+        outq["fine_rgb_ori"], _to_uint8(out32["fine_rgb_ori"]))
+    # uint8 passthrough: _to_uint8 of an already-quantized array is id
+    np.testing.assert_array_equal(
+        _to_uint8(outq["fine_rgb_ori"]), outq["fine_rgb_ori"])
+
+    vis32 = {v.name: v for v in system.eval_visuals(
+        out32, sample, 0, with_gt=True, depth_bounds=ds.depth_bounds)}
+    visq = {v.name: v for v in system.eval_visuals(
+        outq, sample, 0, with_gt=True, depth_bounds=ds.depth_bounds)}
+    assert set(vis32) == set(visq)
+    for name in vis32:
+        v32, vq = vis32[name], visq[name]
+        if v32.kind != "image":
+            np.testing.assert_allclose(np.asarray(vq.data),
+                                       np.asarray(v32.data), rtol=1e-5,
+                                       atol=1e-6, err_msg=name)
+            continue
+        b32 = _to_uint8(np.asarray(v32.data), v32.range)
+        bq = _to_uint8(np.asarray(vq.data), vq.range)
+        if name.endswith("-ori"):
+            # the refine-stage inputs: byte-identical
+            np.testing.assert_array_equal(bq, b32, err_msg=name)
+        else:
+            # LR preview strip: <=1 LSB from the quantized-subpixel mean
+            diff = np.abs(bq.astype(np.int16) - b32.astype(np.int16))
+            assert diff.max() <= 1, (name, diff.max())
+
+
+def test_validate_never_quantizes_metric_renders(llff_scene, monkeypatch):
+    """engine.validate must only request quantized readback when every
+    metric already came from the device path — a render that feeds
+    eval_metrics must stay f32."""
+    from nerfsr_tpu import engine
+
+    opt = default_options(
+        "train", model="nerf_downX", dataset_mode="llff_downX",
+        dataset_root=llff_scene, img_wh=(24, 24), batch_size=16,
+        downscale=2, **_TINY)
+    system = create_model(opt)
+    ds = create_dataset(opt, "val")
+    params = system.init_params(jax.random.PRNGKey(0))
+    seen = []
+    orig_many = type(system).render_eval_many
+
+    def spy_many(self, *a, **kw):
+        seen.append(bool(kw.get("quantize_rgb", False)))
+        return orig_many(self, *a, **kw)
+
+    monkeypatch.setattr(type(system), "render_eval_many", spy_many)
+    # device metrics available -> artifact render may quantize
+    engine.validate(opt, system, params, ds,
+                    out_dir=None)
+    assert not seen  # metric-only validate never renders images
+    engine.validate(opt, system, params, ds,
+                    out_dir=str(__import__("tempfile").mkdtemp()))
+    assert seen == [True]
+    # device metric path unavailable -> the render feeds eval_metrics
+    # and must NOT be quantized
+    seen.clear()
+    monkeypatch.setattr(type(system), "eval_metrics_fast",
+                        lambda self, *a, **k: None)
+    engine.validate(opt, system, params, ds,
+                    out_dir=str(__import__("tempfile").mkdtemp()))
+    assert seen == [False]
+
+
 def test_validate_uses_fast_path(blender_scene, monkeypatch):
     """engine.validate with out_dir=None routes through
     eval_metrics_fast (and never reads a full image back)."""
