@@ -231,17 +231,14 @@ def main():
     # at-or-above parity in all four paired comparisons at ~12x
     # parity speed. NI=12 fails the cluttered bar (36.48, -0.36) —
     # the floor of the family is NI=16.
+    # --fast_preset llff expands to exactly this config (pinned by
+    # tests/test_config.py); the frac-form anneal means "half of
+    # whatever schedule the benched system builds".
     opt_fast16 = default_options(
         "train", model="nerf_downX", dataset_mode="llff_downX",
-        batch_size=batch_lr, N_coarse=64, N_importance=16, n_prop=48,
-        n_prop_levels=2, n_prop2=24,
-        # frac form: "half the schedule" relative to whatever schedule
-        # the benched system builds (real flagship runs pass the
-        # equivalent absolute --prop_pad_anneal 11160 over 22320 steps)
-        prop_pad_anneal_frac=0.5, prop_pad_final=0.0,
-        prop_W=48, prop_D=3,
+        batch_size=batch_lr, N_coarse=64, fast_preset="llff",
         precision="mixed", white_bkgd=False, noise_std=1.0,
-        downscale=ds, include_var=True, fast_sampling=True,
+        downscale=ds, include_var=True,
         img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
     t_fast16, extras16 = _bench_system(opt_fast16, grouped, steps_fast,
                                        extra_scans=(steps_slow,))
@@ -270,10 +267,9 @@ def main():
     # headroom matters more than the last ~15% of throughput.
     opt_fast24 = default_options(
         "train", model="nerf_downX", dataset_mode="llff_downX",
-        batch_size=batch_lr, N_coarse=64, N_importance=24, n_prop=48,
-        n_prop_levels=2, n_prop2=24, prop_W=48, prop_D=3,
+        batch_size=batch_lr, N_coarse=64, fast_preset="quality",
         precision="mixed", white_bkgd=False, noise_std=1.0,
-        downscale=ds, include_var=True, fast_sampling=True,
+        downscale=ds, include_var=True,
         img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
     t_fast24, _ = _bench_system(opt_fast24, grouped, steps_fast)
     rep_fast24 = _config_report(
@@ -319,12 +315,9 @@ def main():
     # within the seed spread, at ~1.4M rays/s sustained e2e).
     opt_ds4 = default_options(
         "train", model="nerf_downX", dataset_mode="llff_downX",
-        batch_size=128, N_coarse=64, N_importance=16, n_prop=48,
-        n_prop_levels=2, n_prop2=24,
-        prop_pad_anneal_frac=0.5, prop_pad_final=0.0,
-        prop_W=48, prop_D=3,
+        batch_size=128, N_coarse=64, fast_preset="llff",
         precision="mixed", white_bkgd=False, noise_std=1.0,
-        downscale=4, include_var=True, fast_sampling=True,
+        downscale=4, include_var=True,
         img_wh=(1008, 756), n_epochs=30, n_epochs_decay=10)
     grouped16 = grouped_buffer(1 << 14, 16)
     t_ds4, _ = _bench_system(opt_ds4, grouped16, steps_fast)

@@ -88,6 +88,109 @@ class TestReferenceScriptSurface:
         assert os.path.exists(tmp_path / "dump" / "train_opt.json")
 
 
+class TestFastPresets:
+    """--fast_preset expands to the exact promoted flag sets of the
+    validated config ladder (VERDICT r4 next #1; the reference's
+    per-family scripts are its equivalent config surface)."""
+
+    BASE = ("--name x --dataset_mode llff_downX --dataset_root /d "
+            "--img_wh 504 378 --model nerf_downX ")
+
+    def test_llff_preset_expansion(self):
+        opt = parse_options(
+            "train", (self.BASE + "--fast_preset llff").split())
+        assert opt.fast_sampling is True
+        assert opt.N_importance == 16
+        assert opt.n_prop == 48 and opt.n_prop_levels == 2
+        assert opt.n_prop2 == 24
+        assert opt.prop_pad_anneal_frac == 0.5
+        assert opt.prop_pad_final == 0.0
+        assert opt.prop_W == 48 and opt.prop_D == 3
+
+    def test_quality_preset_expansion(self):
+        opt = parse_options(
+            "train", (self.BASE + "--fast_preset quality").split())
+        assert opt.fast_sampling and opt.N_importance == 24
+        assert (opt.n_prop, opt.n_prop_levels, opt.n_prop2) == (48, 2, 24)
+        assert opt.prop_pad_anneal_frac == 0.0  # constant pad
+        assert opt.prop_W == 48 and opt.prop_D == 3
+
+    def test_blender_and_universal_presets(self):
+        for name in ("blender", "universal"):
+            opt = parse_options(
+                "train",
+                ("--name x --dataset_mode blender_downX "
+                 "--dataset_root /d --img_wh 400 400 "
+                 f"--fast_preset {name}").split())
+            assert opt.fast_sampling and opt.N_importance == 48
+            assert (opt.n_prop, opt.n_prop_levels, opt.n_prop2) == \
+                (96, 2, 48)
+            # constant pad + default prop net (blender needs both)
+            assert opt.prop_pad_anneal_frac == 0.0
+            assert opt.prop_pad_anneal == 0
+            assert opt.prop_W == 64 and opt.prop_D == 4
+
+    def test_parity_preset(self):
+        opt = parse_options(
+            "train", (self.BASE + "--fast_preset parity").split())
+        assert opt.fast_sampling is False
+        assert opt.N_importance == 64
+
+    def test_explicit_flag_beats_preset(self):
+        opt = parse_options(
+            "train",
+            (self.BASE + "--fast_preset llff --N_importance 24").split())
+        assert opt.N_importance == 24          # explicit wins
+        assert opt.n_prop == 48                # preset fills the rest
+
+    def test_guard_refuses_anneal_on_blender(self):
+        """The measured -7.2 dB footgun: pad-anneal-to-zero on a
+        white-bkgd/360-degree dataset is refused without
+        --force_config."""
+        argv = ("--name x --dataset_mode blender_downX "
+                "--dataset_root /d --img_wh 400 400 "
+                "--fast_preset llff").split()
+        with pytest.raises(SystemExit):
+            parse_options("train", argv)
+        # --force_config runs it anyway (the documented bracket run)
+        opt = parse_options("train", argv + ["--force_config"])
+        assert opt.fast_sampling and opt.prop_pad_final == 0.0
+
+    def test_guard_refuses_explicit_anneal_on_white_bkgd(self):
+        argv = ("--name x --dataset_mode llff_downX --dataset_root /d "
+                "--img_wh 504 378 --white_bkgd --fast_sampling "
+                "--n_prop_levels 2 --prop_pad_anneal 1000 "
+                "--prop_pad_final 0.0").split()
+        with pytest.raises(SystemExit):
+            parse_options("train", argv)
+
+    def test_guard_allows_llff_anneal_and_blender_preset(self):
+        # the promoted combinations pass untouched
+        opt = parse_options(
+            "train", (self.BASE + "--fast_preset llff").split())
+        assert opt.prop_pad_anneal_frac == 0.5
+        opt = parse_options(
+            "train",
+            ("--name x --dataset_mode blender_downX --dataset_root /d "
+             "--img_wh 400 400 --fast_preset blender").split())
+        assert opt.N_importance == 48
+
+    def test_default_options_preset(self):
+        """Programmatic (bench.py) preset expansion matches the CLI."""
+        from nerfsr_tpu.config import default_options
+
+        opt = default_options(
+            "train", model="nerf_downX", dataset_mode="llff_downX",
+            fast_preset="llff", white_bkgd=False, noise_std=1.0,
+            img_wh=(504, 378))
+        want = parse_options(
+            "train", (self.BASE + "--fast_preset llff").split())
+        for k in ("fast_sampling", "N_importance", "n_prop",
+                  "n_prop_levels", "n_prop2", "prop_pad_anneal_frac",
+                  "prop_pad_final", "prop_W", "prop_D"):
+            assert getattr(opt, k) == getattr(want, k), k
+
+
 class TestVisualizer:
     def test_save_kinds(self, tmp_path):
         from nerfsr_tpu.utils.visualizer import Visualizee, save_visuals

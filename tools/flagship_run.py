@@ -33,6 +33,11 @@ def main():
                         "128, scripts/train_llff_downX.sh:19)")
     p.add_argument("--batch_size", type=int, default=512,
                    help="LR pixels per step (x ds^2 HR rays)")
+    p.add_argument("--fast_preset", type=str, default=None,
+                   help="expand a validated config preset "
+                        "(llff/quality/blender/universal/parity — "
+                        "see config.FAST_PRESETS); explicit flags "
+                        "passed here still override preset values")
     p.add_argument("--fast_sampling", action="store_true",
                    help="proposal-MLP sampling (see config.py)")
     p.add_argument("--N_importance", type=int, default=64,
@@ -101,8 +106,8 @@ def main():
                         texture=args.texture, clutter=args.clutter,
                         specular=args.specular)
 
-    opt = default_options(
-        "train", model="nerf_downX", dataset_mode="llff_downX",
+    overrides = dict(
+        model="nerf_downX", dataset_mode="llff_downX",
         dataset_root=scene, img_wh=(w, h), downscale=args.downscale,
         batch_size=args.batch_size,
         N_coarse=64, N_importance=args.N_importance, precision="mixed",
@@ -116,6 +121,17 @@ def main():
         prop_W=args.prop_W, prop_D=args.prop_D,
         deg_prop=args.deg_prop,
         n_epochs=30, n_epochs_decay=10, lr=5e-4, lr_final=5e-6)
+    if args.fast_preset:
+        # preset values win over this script's passthrough defaults but
+        # not over flags the user explicitly typed on the command line
+        explicit_cli = {a.split("=")[0].lstrip("-")
+                        for a in sys.argv[1:] if a.startswith("--")}
+        from nerfsr_tpu.config import FAST_PRESETS
+        for k in FAST_PRESETS[args.fast_preset]:
+            if k not in explicit_cli:
+                overrides.pop(k, None)
+        overrides["fast_preset"] = args.fast_preset
+    opt = default_options("train", **overrides)
     system = create_model(opt)
     print(f"[flagship] cfg: fast={system.render_cfg.fast_sampling} "
           f"n_imp={system.render_cfg.n_importance} "

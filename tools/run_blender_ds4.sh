@@ -35,14 +35,13 @@ for SEED in 0 1; do
   echo "=== blender ds4 parity seed $SEED ==="
   python train_blender.py --name bds4-parity-s$SEED $COMMON \
     --N_importance 64 --seed $SEED 2>&1 | tail -4
-  echo "=== blender ds4 fast pick (NI=48 lv2 96+48) seed $SEED ==="
+  echo "=== blender ds4 fast pick (--fast_preset blender) seed $SEED ==="
   python train_blender.py --name bds4-q48-s$SEED $COMMON \
-    --N_importance 48 --fast_sampling --n_prop 96 --n_prop_levels 2 \
-    --n_prop2 48 --seed $SEED 2>&1 | tail -4
+    --fast_preset blender --seed $SEED 2>&1 | tail -4
   echo "=== blender ds4 LLFF-primary NI=16 (EXPECTED to lose ~7 dB) seed $SEED ==="
+  # --force_config: this run intentionally reproduces the measured
+  # footgun (config.py's guard refuses the anneal-to-zero + white-bkgd
+  # combination otherwise)
   python train_blender.py --name bds4-primary-s$SEED $COMMON \
-    --N_importance 16 --fast_sampling --n_prop 48 --n_prop_levels 2 \
-    --n_prop2 24 --prop_W 48 --prop_D 3 \
-    --prop_pad_anneal_frac 0.5 --prop_pad_final 0.0 \
-    --seed $SEED 2>&1 | tail -4
+    --fast_preset llff --force_config --seed $SEED 2>&1 | tail -4
 done
