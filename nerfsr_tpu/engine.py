@@ -298,10 +298,12 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
         if val_ds is not None and opt.val_epoch_freq and \
                 (epoch % opt.val_epoch_freq == 0
                  or epoch == opt.n_epochs):
+            # out_dir is passed on EVERY process: the visual renders are
+            # computations over the global mesh, so all controllers must
+            # join them (validate itself writes master-only).
             metrics = validate(
                 opt, system, state.params, val_ds,
-                out_dir=_vis_dir(opt, epoch, "val") if is_master()
-                else None)
+                out_dir=_vis_dir(opt, epoch, "val"))
             writer.add_scalars(metrics, global_step, prefix="val/")
             if is_master():
                 print(f"[val e{epoch}] " + " ".join(
@@ -315,8 +317,7 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                 vis_ds = create_dataset(opt, opt.val_epoch_split)
                 metrics = validate(
                     opt, system, state.params, vis_ds,
-                    out_dir=_vis_dir(opt, epoch, opt.val_epoch_split)
-                    if is_master() else None,
+                    out_dir=_vis_dir(opt, epoch, opt.val_epoch_split),
                     max_images=4)
                 writer.add_scalars(metrics, global_step,
                                    prefix=f"{opt.val_epoch_split}/")
@@ -397,7 +398,10 @@ def validate(opt, system, params, dataset, out_dir=None, max_images=None):
     for level, frames in gif_frames.items():
         if len(frames) > 1:
             visuals.append(Visualizee("gif", frames, name=level))
-    if out_dir is not None and visuals:
+    # master-only writes (the renders above are global-mesh computations
+    # every controller joined; only rank 0 persists the artifacts —
+    # parity: reference train.py:90-139)
+    if out_dir is not None and visuals and is_master():
         save_visuals(visuals, out_dir)
     if not metrics:  # gt-less dataset (e.g. spiral path): visuals only
         return {}

@@ -15,6 +15,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nerfsr_tpu.core.sampling import select_along_axis
 
@@ -303,8 +304,12 @@ _VGG19_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
 # (relu1_2, relu2_2, relu3_2, relu4_2, relu5_2)
 _TAP_LAYER_COUNTS = (2, 4, 6, 10, 14)
 
-_IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
-_IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
+# numpy on purpose: a module-level jnp.array would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize (it
+# must run before ANY backend init — multihost entry paths import this
+# module transitively). jnp ops convert these on first use inside jit.
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def write_synthetic_vgg_npz(path, seed: int = 0):

@@ -191,6 +191,9 @@ class TestMultiHostWiring:
                                   "1_state.msgpack")
         assert not os.path.exists(tmp_path / "runs" / "nm" /
                                   "metrics.jsonl")
+        # non-master joins the validate renders (global-mesh collective)
+        # but persists NO visual artifacts
+        assert not os.path.exists(tmp_path / "ck" / "nm" / "1_val_vis")
 
     def test_coordinator_flags_invoke_init_distributed(self, monkeypatch):
         from nerfsr_tpu import engine
