@@ -68,6 +68,79 @@ class TestEngineTrain:
         state = train(opt)
         assert int(state.step) == 6
 
+    def test_patch_mode_routes_to_scan(self, blender_scene, tmp_path,
+                                       monkeypatch):
+        """--patch_size>1 + --scan_steps folds patch steps into the
+        compiled scan chunk (VERDICT r4 weak #4)."""
+        from nerfsr_tpu import engine
+        from nerfsr_tpu.models.nerf_system import NeRFSystem
+
+        calls = {"scan": 0, "single": 0}
+        orig_scan = NeRFSystem.train_steps_scan_patches
+        orig_single = NeRFSystem.train_step_patches
+
+        def spy_scan(self, *a, **k):
+            calls["scan"] += 1
+            return orig_scan(self, *a, **k)
+
+        def spy_single(self, *a, **k):
+            calls["single"] += 1
+            return orig_single(self, *a, **k)
+
+        monkeypatch.setattr(NeRFSystem, "train_steps_scan_patches",
+                            spy_scan)
+        monkeypatch.setattr(NeRFSystem, "train_step_patches", spy_single)
+        opt = default_options(
+            "train", model="nerf", dataset_mode="blender",
+            dataset_root=blender_scene, img_wh=(16, 16), batch_size=32,
+            patch_size=4, N_coarse=4, N_importance=4, D=2, W=16,
+            deg_pos=2, deg_dir=1, precision="f32", n_epochs=1,
+            n_epochs_decay=0, steps_per_epoch=6, scan_steps=3,
+            log_every=0, save_epoch_freq=0, val_epoch_freq=0,
+            vis_epoch_freq=0, val_freq=0,
+            checkpoints_dir=str(tmp_path / "ck"),
+            summary_dir=str(tmp_path / "runs"), name="patchscan")
+        state = engine.train(opt)
+        assert int(state.step) == 6
+        assert calls["scan"] == 2 and calls["single"] == 0, calls
+
+    def test_with_ref_routes_to_scan(self, llff_scene, tmp_path,
+                                     monkeypatch):
+        """--with_ref + --scan_steps folds ref steps into the compiled
+        scan chunk (VERDICT r4 weak #4)."""
+        from nerfsr_tpu import engine
+        from nerfsr_tpu.models.nerf_system import NeRFSystem
+
+        calls = {"scan": 0, "single": 0}
+        orig_scan = NeRFSystem.train_steps_scan_with_ref
+        orig_single = NeRFSystem.train_step_with_ref
+
+        def spy_scan(self, *a, **k):
+            calls["scan"] += 1
+            return orig_scan(self, *a, **k)
+
+        def spy_single(self, *a, **k):
+            calls["single"] += 1
+            return orig_single(self, *a, **k)
+
+        monkeypatch.setattr(NeRFSystem, "train_steps_scan_with_ref",
+                            spy_scan)
+        monkeypatch.setattr(NeRFSystem, "train_step_with_ref",
+                            spy_single)
+        opt = default_options(
+            "train", model="nerf_downX", dataset_mode="llff_downX",
+            dataset_root=llff_scene, img_wh=(16, 16), downscale=2,
+            with_ref=True, batch_size=8, N_coarse=4, N_importance=4,
+            D=2, W=16, deg_pos=2, deg_dir=1, precision="f32",
+            n_epochs=1, n_epochs_decay=0, steps_per_epoch=4,
+            scan_steps=2, log_every=0, save_epoch_freq=0,
+            val_epoch_freq=0, vis_epoch_freq=0, val_freq=0,
+            checkpoints_dir=str(tmp_path / "ck"),
+            summary_dir=str(tmp_path / "runs"), name="refscan")
+        state = engine.train(opt)
+        assert int(state.step) == 4
+        assert calls["scan"] == 2 and calls["single"] == 0, calls
+
     def test_zero_cadence_flags_do_not_crash(self, blender_scene,
                                              tmp_path):
         """--val_epoch_freq 0 / --save_epoch_freq 0 / --print_freq 0

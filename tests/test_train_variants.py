@@ -159,6 +159,84 @@ class TestTrainStepPatches:
         assert "coarse_depth_lap" not in losses
 
 
+class TestScannedVariants:
+    """The scanned with-ref / patch chunks (VERDICT r4 weak #4) must be
+    step-for-step identical to the single-dispatch jits they amortize."""
+
+    def test_scan_with_ref_matches_single_steps(self):
+        opt = _tiny_opt(with_ref=True, downscale=2)
+        system = create_model(opt)
+        buffer = _ray_buffer(256, 0)
+        ref_buffer = _ray_buffer(128, 1)
+        key = jax.random.PRNGKey(2)
+        s_single = system.create_state(jax.random.PRNGKey(0),
+                                       steps_per_epoch=50)
+        s_scan = system.create_state(jax.random.PRNGKey(0),
+                                     steps_per_epoch=50)
+        for _ in range(3):
+            s_single, l_single = system.train_step_with_ref(
+                s_single, buffer, ref_buffer, key)
+        s_scan, l_scan = system.train_steps_scan_with_ref(
+            s_scan, buffer, ref_buffer, 3, 1, key, jnp.int32(0))
+        assert int(s_scan.step) == int(s_single.step) == 3
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            s_single.params, s_scan.params)
+        for k in l_single:
+            np.testing.assert_array_equal(np.asarray(l_single[k]),
+                                          np.asarray(l_scan[k]))
+
+    def test_scan_with_ref_freq_masks_off_steps(self):
+        """--ref_freq 2: the ref contribution is zeroed on off-steps
+        (parity with engine.py's it % ref_freq gate)."""
+        opt = _tiny_opt(with_ref=True, downscale=2)
+        system = create_model(opt)
+        buffer = _ray_buffer(128, 0)
+        ref_buffer = _ray_buffer(64, 1)
+        key = jax.random.PRNGKey(2)
+        state = system.create_state(jax.random.PRNGKey(0),
+                                    steps_per_epoch=50)
+        # 2 steps from it0=1: i=0 -> it 1 (off), i=1 -> it 2 (on);
+        # returned losses are the LAST step's -> ref term present
+        state, losses = system.train_steps_scan_with_ref(
+            state, buffer, ref_buffer, 2, 2, key, jnp.int32(1))
+        assert float(losses["ref_fine_mse"]) > 0.0
+        # 2 steps from it0=0: last step is it 1 (off) -> ref term zero
+        state2 = system.create_state(jax.random.PRNGKey(0),
+                                     steps_per_epoch=50)
+        state2, losses2 = system.train_steps_scan_with_ref(
+            state2, buffer, ref_buffer, 2, 2, key, jnp.int32(0))
+        assert float(losses2["ref_fine_mse"]) == 0.0
+        assert np.isfinite(float(losses2["tot"]))
+
+    def test_scan_patches_matches_single_steps(self):
+        ps = 4
+        opt = _tiny_opt(batch_size=ps * ps * 4, patch_size=ps,
+                        lambda_coarse_depth_lap=1e-3,
+                        lambda_fine_depth_lap=1e-3)
+        system = create_model(opt)
+        img_buffer = TestTrainStepPatches._img_buffer(None, 2, 12, 12)
+        key = jax.random.PRNGKey(3)
+        s_single = system.create_state(jax.random.PRNGKey(0),
+                                       steps_per_epoch=50)
+        s_scan = system.create_state(jax.random.PRNGKey(0),
+                                     steps_per_epoch=50)
+        for _ in range(3):
+            s_single, l_single = system.train_step_patches(
+                s_single, img_buffer, key, ps)
+        s_scan, l_scan = system.train_steps_scan_patches(
+            s_scan, img_buffer, 3, ps, key)
+        assert int(s_scan.step) == int(s_single.step) == 3
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            s_single.params, s_scan.params)
+        for k in l_single:
+            np.testing.assert_array_equal(np.asarray(l_single[k]),
+                                          np.asarray(l_scan[k]))
+
+
 class TestInitGain:
     def test_normal_init_std_scales_with_gain(self):
         """--init_gain drives the normal-init std (reference
