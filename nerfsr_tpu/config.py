@@ -76,6 +76,13 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                    help="compat no-op: both map to the jax device mesh")
     p.add_argument("--name", type=str, required=True)
     p.add_argument("--checkpoints_dir", type=str, default="./checkpoints")
+    p.add_argument("--ckpt_backend", type=str, default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="checkpoint serialization: msgpack = atomic "
+                        "single-file flax blobs (default); orbax = "
+                        "async background writes ({epoch}_state.orbax/ "
+                        "directories) so training never stalls on "
+                        "checkpoint IO. Resume reads either format.")
     p.add_argument("--summary_dir", type=str, default="./runs")
     p.add_argument("--seed", type=int, default=99)
     p.add_argument("--model", type=str, default="template")
@@ -533,6 +540,12 @@ def default_options(phase: str = "train", **overrides):
             "--dataset_root", overrides.pop("dataset_root", "/tmp"),
             "--img_wh",
             *[str(x) for x in overrides.pop("img_wh", (64, 64))]]
+    if "dataset_mode" in overrides:
+        # route through argv so the two-phase dataset-default overrides
+        # fire exactly as on the CLI (e.g. llff_refine -> patch_len 64,
+        # blender -> white_bkgd True); later explicit overrides still
+        # win because they are applied after the parse.
+        argv += ["--dataset_mode", overrides.pop("dataset_mode")]
     opt = parse_options(phase, argv)
     for k, v in overrides.items():
         if not hasattr(opt, k):

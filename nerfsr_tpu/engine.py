@@ -347,6 +347,7 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
             except Exception as e:
                 print(f"[train] vis_epoch render skipped: {e}")
 
+    ckpt.wait_for_saves()  # async (orbax) writes must commit pre-exit
     writer.close()
     return state
 
@@ -567,6 +568,7 @@ def train_refine(opt):
             save_visuals(visuals, _vis_dir(opt, epoch, "val"))
             print(f"[refine val e{epoch}] " + " ".join(
                 f"{k}={v:.4g}" for k, v in agg.items()))
+    ckpt.wait_for_saves()  # async (orbax) writes must commit pre-exit
     writer.close()
     return state
 

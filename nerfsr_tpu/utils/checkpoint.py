@@ -9,8 +9,23 @@ upgraded in one way the reference lacks: **optimizer state and step are
 saved too**, so resume is exact (the reference restarts Adam moments,
 SURVEY.md §5).
 
-Serialization is msgpack via ``flax.serialization`` (single-host;
-orbax can be swapped in for multi-host async checkpointing later).
+Two serialization backends (``--ckpt_backend``):
+
+- ``msgpack`` (default): single-file ``flax.serialization`` blobs with
+  write-to-tmp + rename atomicity. Correct for this framework on any
+  topology — params/opt_state are REPLICATED under the DP mesh (SURVEY
+  §2.8: the reference has no model parallelism, so neither do we), so
+  the master process holds the full state and saves it alone.
+- ``orbax``: ``orbax.checkpoint.StandardCheckpointer`` directories
+  (``{epoch}_state.orbax/``). Saves are ASYNC — the device→host copy
+  is synchronous (safe w.r.t. donated-state reuse by the next scanned
+  step) but the disk write happens in a background thread, so training
+  does not stall on checkpoint IO (orbax's own commit protocol makes
+  the directory rename atomic). ``wait_for_saves()`` barriers before
+  process exit / immediate reload.
+
+Resume dispatches on what is actually on disk, so switching backends
+between runs keeps ``--continue_train`` working.
 """
 
 from __future__ import annotations
@@ -33,6 +48,36 @@ def _path(opt, epoch, name=None):
     return os.path.join(d, f"{epoch}_state.msgpack")
 
 
+def _orbax_path(opt, epoch, name=None):
+    d = _ckpt_dir(opt) if name is None else os.path.join(
+        opt.checkpoints_dir, name)
+    # orbax requires absolute paths
+    return os.path.abspath(os.path.join(d, f"{epoch}_state.orbax"))
+
+
+def _use_orbax(opt) -> bool:
+    return getattr(opt, "ckpt_backend", "msgpack") == "orbax"
+
+
+_ORBAX_CKPTR = None
+
+
+def _orbax_ckptr():
+    global _ORBAX_CKPTR
+    if _ORBAX_CKPTR is None:
+        import orbax.checkpoint as ocp
+        _ORBAX_CKPTR = ocp.StandardCheckpointer()
+    return _ORBAX_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Barrier for in-flight async (orbax) checkpoint writes. Call
+    before process exit and before immediately reloading a checkpoint
+    this process just saved. No-op for the msgpack backend."""
+    if _ORBAX_CKPTR is not None:
+        _ORBAX_CKPTR.wait_until_finished()
+
+
 def _atomic_write(path: str, blob: bytes) -> None:
     """Write-to-tmp + fsync + ``os.replace`` so a crash mid-write can
     never leave a torn file at ``path`` (the reference writes in place,
@@ -53,6 +98,12 @@ def save_checkpoint(opt, state, epoch) -> str:
     loadable ``latest`` even if the process dies mid-save."""
     os.makedirs(_ckpt_dir(opt), exist_ok=True)
     state = jax.device_get(state)
+    if _use_orbax(opt):
+        ckptr = _orbax_ckptr()
+        path = _orbax_path(opt, epoch)
+        ckptr.save(path, state, force=True)
+        ckptr.save(_orbax_path(opt, "latest"), state, force=True)
+        return path
     blob = flax.serialization.to_bytes(state)
     path = _path(opt, epoch)
     _atomic_write(path, blob)
@@ -75,40 +126,69 @@ def checkpoint_is_valid(path: str) -> bool:
 
 
 def find_resume_epoch(opt) -> Optional[int]:
-    """Latest saved integer epoch whose file is loadable (parity: the
-    max-epoch scan in ``models/base_model.py:89-94``; torn/corrupt files
-    are skipped instead of crashing resume)."""
+    """Latest saved integer epoch whose checkpoint is loadable (parity:
+    the max-epoch scan in ``models/base_model.py:89-94``; torn/corrupt
+    files are skipped instead of crashing resume). Considers BOTH
+    backends so resume survives a ``--ckpt_backend`` switch."""
     d = _ckpt_dir(opt)
     if not os.path.isdir(d):
         return None
-    epochs = []
+    epochs = set()
     for fn in os.listdir(d):
-        m = re.match(r"(\d+)_state\.msgpack$", fn)
+        m = re.match(r"(\d+)_state\.(msgpack|orbax)$", fn)
         if m:
-            epochs.append(int(m.group(1)))
+            epochs.add(int(m.group(1)))
     for epoch in sorted(epochs, reverse=True):
-        if checkpoint_is_valid(_path(opt, epoch)):
+        if (checkpoint_is_valid(_path(opt, epoch))
+                or os.path.isdir(_orbax_path(opt, epoch))):
             return epoch
     return None
 
 
+def _resolve_ckpt_path(opt, epoch, name=None) -> str:
+    """Pick the on-disk checkpoint for ``epoch``: prefer the configured
+    backend's artifact, fall back to the other one if only that exists
+    (resume after a backend switch)."""
+    op = _orbax_path(opt, epoch, name)
+    mp = _path(opt, epoch, name)
+    order = (op, mp) if _use_orbax(opt) else (mp, op)
+    for p in order:
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(order[0])
+
+
+def _orbax_restore(path, state_template):
+    template = jax.device_get(state_template)
+    return _orbax_ckptr().restore(path, template)
+
+
 def load_checkpoint(opt, state_template, epoch=None, name=None):
-    """Restore a TrainState saved by save_checkpoint.
+    """Restore a TrainState saved by save_checkpoint (either backend).
 
     epoch: int, or 'latest' (default = opt.load_epoch).
     name: other experiment name (for --init_weights).
     """
     epoch = epoch if epoch is not None else opt.load_epoch
-    path = _path(opt, epoch, name)
-    if not os.path.exists(path):
-        raise FileNotFoundError(path)
+    wait_for_saves()  # an in-flight async save must commit first
+    path = _resolve_ckpt_path(opt, epoch, name)
+    if path.endswith(".orbax"):
+        try:
+            return _orbax_restore(path, state_template)
+        except Exception:
+            if epoch != "latest" or name is not None:
+                raise
+            fallback = find_resume_epoch(opt)
+            if fallback is None:
+                raise
+            return load_checkpoint(opt, state_template, epoch=fallback)
     if epoch == "latest" and name is None and not checkpoint_is_valid(path):
         # A torn ``latest`` (pre-atomic writer / external truncation):
         # fall back to the newest intact epoch file instead of crashing.
         fallback = find_resume_epoch(opt)
         if fallback is None:
             raise OSError(f"corrupt checkpoint {path} and no valid fallback")
-        path = _path(opt, fallback)
+        return load_checkpoint(opt, state_template, epoch=fallback)
     with open(path, "rb") as f:
         return flax.serialization.from_bytes(state_template, f.read())
 

@@ -145,6 +145,43 @@ class TestCheckpoint:
                         jax.tree_util.tree_leaves(restored.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_orbax_backend_roundtrip_and_cross_backend_resume(
+            self, tmp_path):
+        """--ckpt_backend orbax: async StandardCheckpointer saves
+        ({epoch}_state.orbax/ dirs), exact restore, 'latest' alias, and
+        resume working across a backend switch (load dispatches on what
+        is on disk)."""
+        opt = tiny_opt(tmp_path, ckpt_backend="orbax")
+        sys_ = create_model(opt)
+        state = sys_.create_state(jax.random.PRNGKey(0), 10)
+        path = ckpt.save_checkpoint(opt, state, epoch=1)
+        ckpt.wait_for_saves()
+        assert path.endswith("1_state.orbax") and os.path.isdir(path)
+
+        template = sys_.create_state(jax.random.PRNGKey(9), 10)
+        restored = ckpt.load_checkpoint(opt, template, epoch=1)
+        assert int(restored.step) == int(state.step)
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                        jax.tree_util.tree_leaves(restored.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        latest = ckpt.load_checkpoint(opt, template, epoch="latest")
+        assert int(latest.step) == int(state.step)
+        assert ckpt.find_resume_epoch(opt) == 1
+
+        # backend switch: a NEWER msgpack epoch wins the resume scan,
+        # and an orbax-configured load still reads it.
+        opt_m = tiny_opt(tmp_path, ckpt_backend="msgpack")
+        state2 = sys_.create_state(jax.random.PRNGKey(3), 10)
+        ckpt.save_checkpoint(opt_m, state2, epoch=2)
+        assert ckpt.find_resume_epoch(opt) == 2
+        crossed = ckpt.load_checkpoint(opt, template, epoch=2)
+        for a, b in zip(jax.tree_util.tree_leaves(state2.params),
+                        jax.tree_util.tree_leaves(crossed.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_fix_layers_mask(self, tmp_path):
         opt = tiny_opt(tmp_path, fix_layers="coarse")
         sys_ = create_model(opt)
