@@ -686,11 +686,16 @@ class NeRFSystem:
                 chunk = self.opt.ray_chunk
             else:
                 # 4096 on every backend: the whole image renders in ONE
-                # dispatch regardless (lax.map inside the jit), and on
-                # the TPU the measured per-ray rate DROPS with chunk
-                # size (tools/probe_eval_render.py: 1174 K rays/s at
-                # 2048/4096 -> 1087 at 8192 -> 969 at 32768 — large
-                # chunks inherit the large-batch step degradation).
+                # dispatch regardless (lax.map inside the jit), and the
+                # TPU DEVICE-ONLY rate (scalar readback — unconfounded
+                # by the tunnel's transfer cost) peaks there and drops
+                # with chunk size (tools/probe_eval_render.py, NI=16
+                # primary: 2756 K rays/s @2048, 2820 @4096, 2476
+                # @8192, 2239 @16384, 1860 @32768, 1825 @65536 — the
+                # full render program inherits the same XLA/HBM-bound
+                # large-batch degradation as the train step; the bare
+                # MLP's 96 TFLOP/s at large N does not survive the
+                # sampling/proposal/composite surroundings).
                 chunk = 4096
             if chunk > n:
                 chunk = max(256, -(-n // 256) * 256)

@@ -79,24 +79,35 @@ def main():
         print(f"  chunk {chunk:>6}: {1e3*t:8.1f} ms  "
               f"{n/t/1e3:10.0f} K rays/s")
 
-    # dispatch+readback isolation at the best chunk: device-only sum
-    # (1 scalar back) vs the full rgb+depth readback the host needs.
-    chunk = args.chunks[0]
+    # DEVICE-ONLY sweep (VERDICT r4 weak #3): scalar readback isolates
+    # device compute from the tunnel's transfer cost at EVERY chunk
+    # size — the render_pose sweep above confounds the two, and the
+    # 4096 default was picked from the confounded numbers.
+    c2w = jnp.asarray(np.stack([spec["c2w"], spec["c2w"]]))
+    print("device-only (scalar readback) per chunk size:")
+    t_by_chunk = {}
+    for chunk in args.chunks:
+        padded = dirs if n % chunk == 0 else np.concatenate(
+            [dirs, np.repeat(dirs[-1:], (-n) % chunk, axis=0)])
+        stacked = jnp.asarray(padded.reshape(-1, chunk, 3))
+
+        def render_sum(params, dirs_stacked, chunk=chunk):
+            out = system.eval_image_device_pose.__wrapped__(
+                system, params, dirs_stacked, c2w, spec["geom"], chunk)
+            return jnp.float32(sum(jnp.sum(v) for v in out.values()))
+
+        rs = jax.jit(render_sum)
+        t = timed(lambda: float(rs(state.params, stacked)), args.reps)
+        t_by_chunk[chunk] = t
+        print(f"  chunk {chunk:>6}: {1e3*t:8.1f} ms  "
+              f"{n/t/1e3:10.0f} K rays/s")
+    chunk = min(t_by_chunk, key=t_by_chunk.get)
+    t_dev = t_by_chunk[chunk]
+    print(f"best device-only chunk: {chunk} "
+          f"({n/t_dev/1e3:.0f} K rays/s)")
     padded = dirs if n % chunk == 0 else np.concatenate(
         [dirs, np.repeat(dirs[-1:], (-n) % chunk, axis=0)])
     stacked = jnp.asarray(padded.reshape(-1, chunk, 3))
-    c2w = jnp.asarray(np.stack([spec["c2w"], spec["c2w"]]))
-
-    @jax.jit
-    def render_sum(params, dirs_stacked):
-        out = system.eval_image_device_pose.__wrapped__(
-            system, params, dirs_stacked, c2w, spec["geom"], chunk)
-        return jnp.float32(sum(jnp.sum(v) for v in out.values()))
-
-    t_dev = timed(lambda: float(render_sum(state.params, stacked)),
-                  args.reps)
-    print(f"device-only (scalar readback) @chunk {chunk}: "
-          f"{1e3*t_dev:.1f} ms = {n/t_dev/1e3:.0f} K rays/s")
 
     def full():
         out = system.eval_image_device_pose(
@@ -131,13 +142,26 @@ def main():
         for _ in system.render_eval_many(state.params, ds_obj, range(k)):
             pass
 
+    def pipelined_q():
+        # the artifact-loop config: uint8 rgb readback (1/4 payload;
+        # the {i}-*-ori.png strips ARE uint8 — ADVICE r4 #3's question
+        # is whether validate's extra quantized visual render costs
+        # anything once metrics moved on device)
+        for _ in system.render_eval_many(state.params, ds_obj, range(k),
+                                         quantize_rgb=True):
+            pass
+
     t_ser = timed(serial, max(2, args.reps // 2))
     t_pipe = timed(pipelined, max(2, args.reps // 2))
+    t_pipe_q = timed(pipelined_q, max(2, args.reps // 2))
     print(f"{k}-pose loop serial render_eval: {1e3*t_ser:.0f} ms "
           f"({1e3*t_ser/k:.1f} ms/img, {k*n/t_ser/1e3:.0f} K rays/s)")
     print(f"{k}-pose loop render_eval_many:   {1e3*t_pipe:.0f} ms "
           f"({1e3*t_pipe/k:.1f} ms/img, {k*n/t_pipe/1e3:.0f} K rays/s, "
           f"{t_ser/t_pipe:.2f}x)")
+    print(f"{k}-pose loop many+quantize_rgb:  {1e3*t_pipe_q:.0f} ms "
+          f"({1e3*t_pipe_q/k:.1f} ms/img, {k*n/t_pipe_q/1e3:.0f} "
+          f"K rays/s, {t_ser/t_pipe_q:.2f}x)")
 
     # device-metric path (eval_metrics_fast): scalars only. downX gt is
     # LR pixels (n / ds^2 rows); omit rgbs_ori (metrics then reduce to
@@ -154,9 +178,13 @@ def main():
         m = system.eval_metrics_fast(state.params, mds, 0)
         assert m is not None
 
-    t_m = timed(metrics, args.reps)
-    print(f"eval_metrics_fast (device PSNR/SSIM, scalar readback): "
-          f"{1e3*t_m:.1f} ms/img = {n/t_m/1e3:.0f} K rays/s")
+    # sweep the metric path across chunk sizes too (the production
+    # default comes from _eval_chunk_size; --ray_chunk overrides it)
+    for mc in args.chunks:
+        system.opt.ray_chunk = mc
+        t_m = timed(metrics, args.reps)
+        print(f"eval_metrics_fast @chunk {mc:>6}: {1e3*t_m:8.1f} ms/img "
+              f"= {n/t_m/1e3:.0f} K rays/s")
 
 
 if __name__ == "__main__":
