@@ -190,6 +190,25 @@ class TestFastPresets:
                   "prop_pad_final", "prop_W", "prop_D"):
             assert getattr(opt, k) == getattr(want, k), k
 
+    def test_default_options_applies_dataset_defaults(self):
+        """Programmatic construction fires the same two-phase dataset
+        defaults as the CLI (regression: a refine system built via
+        default_options got the generic 32px patch_len instead of
+        llff_refine's 64 — data/llff_refine_dataset.py:22 — and the
+        UNet's >=64px check rejected it), with explicit overrides
+        still winning."""
+        from nerfsr_tpu.config import default_options
+
+        opt = default_options("train", model="refine",
+                              dataset_mode="llff_refine")
+        assert opt.patch_len == 64
+        assert opt.white_bkgd is False and opt.noise_std == 1.0
+        opt2 = default_options("train", model="refine",
+                               dataset_mode="llff_refine", patch_len=96)
+        assert opt2.patch_len == 96
+        optb = default_options("train", dataset_mode="blender")
+        assert optb.white_bkgd is True and optb.noise_std == 0.0
+
 
 class TestVisualizer:
     def test_save_kinds(self, tmp_path):
