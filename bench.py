@@ -10,10 +10,13 @@ per-step compute effect).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 "fast24_quality_rays_per_sec", "fast64_rays_per_sec",
 "parity_path_rays_per_sec", "ds4_rays_per_sec",
-"eval_render_rays_per_sec", "configs": {per-config rep spread +
+"blender_fast_rays_per_sec", "universal_rays_per_sec",
+"refine_steps_per_sec", "eval_render_rays_per_sec",
+"eval_metrics_rays_per_sec", "configs": {per-config rep spread +
 step_ms + analytic MFLOP/ray + achieved TFLOP/s + MFU vs the v5e's
 197 TFLOP/s bf16 peak; the primary adds the calibrated per-dispatch
-overhead and the overhead-free asymptotic rate}}.
+overhead and the overhead-free asymptotic rate}} — every promoted
+config family in the ladder (VERDICT r4 weak #5).
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md), so
 vs_baseline divides by a documented ESTIMATE of the reference's per-GPU
@@ -190,6 +193,61 @@ def _bench_eval(opt, n_lr, ds2):
     return sorted(times)
 
 
+def _bench_refine(n_steps=200):
+    """Refine-stage throughput at the reference's documented config
+    (scripts/train_llff_refine.sh: UNet, batch 32, patch_len 64 —
+    the llff_refine dataset default, data/llff_refine_dataset.py:22 —
+    num_ref_patches 8, 504x378 images, --refine_with_l1): the
+    device-resident scanned patch pipeline (refine_system.py
+    train_steps_scan — aug stacks in HBM, patch cuts in-jit)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfsr_tpu.config import default_options
+    from nerfsr_tpu.models import create_model
+
+    opt = default_options(
+        "train", model="refine", dataset_mode="llff_refine",
+        batch_size=32, img_wh=(504, 378), refine_with_l1=True,
+        lr_policy="exp", lr=5e-4, lr_final=5e-6,
+        n_epochs=3, n_epochs_decay=0)
+    system = create_model(opt)
+    state = system.create_state(jax.random.PRNGKey(0),
+                                steps_per_epoch=15625)
+    rng = np.random.RandomState(0)
+    n_aug, h, w = 8, 378, 504
+    buffers = {
+        "sr_imgs": jnp.asarray(
+            rng.rand(n_aug, h, w, 3).astype(np.float32) * 2 - 1),
+        "gt_imgs": jnp.asarray(
+            rng.rand(n_aug, h, w, 3).astype(np.float32) * 2 - 1),
+        "gt_img": jnp.asarray(
+            rng.rand(h, w, 3).astype(np.float32) * 2 - 1),
+        "bboxes": jnp.asarray(
+            np.tile(np.array([0, 0, w, h], np.int32), (n_aug, 1))),
+    }
+    key = jax.random.PRNGKey(0)
+    state, losses = system.train_steps_scan(state, buffers, n_steps, key)
+    assert float(losses["tot"]) == float(losses["tot"])  # compile+run
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, losses = system.train_steps_scan(state, buffers, n_steps,
+                                                key)
+        assert float(losses["tot"]) == float(losses["tot"])
+        times.append(time.perf_counter() - t0)
+    times = sorted(times)
+    med = times[1]
+    return {
+        "steps_per_sec": round(n_steps / med, 1),
+        "step_ms": round(1e3 * med / n_steps, 3),
+        "scan_steps": n_steps,
+        "reps_s": [round(t, 4) for t in times],
+        "config": "unet b32 plen64 k8 504x378 (train_llff_refine.sh)",
+    }
+
+
 def main():
     from nerfsr_tpu.config import default_options
     from nerfsr_tpu.utils.devbench import (enable_compile_cache,
@@ -326,6 +384,39 @@ def main():
         _flops_per_hr_ray(opt_ds4))
     ds4_rays_per_sec = rep_ds4["rays_per_sec"]
 
+    # BLENDER FAST line (VERDICT r4 weak #5): the NI=48 two-round
+    # 96+48 constant-pad blender pick (--fast_preset blender) at the
+    # blender x4 step shape — 128 LR px x 16 sub-rays, white bkgd
+    # (STATUS.md blender-x4 bracket: 48.11+47.91 vs parity
+    # 48.35+48.27, ~4.5x parity speed; the LLFF NI=16 primary loses
+    # 7.2 dB here, hence the per-family presets).
+    opt_bl = default_options(
+        "train", model="nerf_downX", dataset_mode="blender_downX",
+        batch_size=128, N_coarse=64, fast_preset="blender",
+        precision="mixed", downscale=4, include_var=True,
+        img_wh=(800, 800), n_epochs=30, n_epochs_decay=10)
+    t_bl, _ = _bench_system(opt_bl, grouped16, steps_mid)
+    rep_blender = _config_report(
+        t_bl, steps_mid, 128 * 16, _flops_per_hr_ray(opt_bl))
+    blender_fast_rays_per_sec = rep_blender["rays_per_sec"]
+
+    # UNIVERSAL line: the same NI=48 config on the LLFF x2 shapes —
+    # the scene-family-agnostic pick (--fast_preset universal; safe
+    # everywhere, at-or-above parity on LLFF at ~3.9x).
+    opt_uni = default_options(
+        "train", model="nerf_downX", dataset_mode="llff_downX",
+        batch_size=batch_lr, N_coarse=64, fast_preset="universal",
+        precision="mixed", white_bkgd=False, noise_std=1.0,
+        downscale=ds, include_var=True,
+        img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
+    t_uni, _ = _bench_system(opt_uni, grouped, steps_mid)
+    rep_uni = _config_report(
+        t_uni, steps_mid, n_hr_rays, _flops_per_hr_ray(opt_uni))
+    universal_rays_per_sec = rep_uni["rays_per_sec"]
+
+    # REFINE stage line: the 3rd pipeline stage's scanned step rate.
+    rep_refine = _bench_refine()
+
     # ALSO: eval render throughput at flagship image size (504x378 =
     # 190512 HR rays; feeds the test/warp/refine pipeline stages).
     # Primary config; eval uses the fully-annealed pad (0.0).
@@ -386,6 +477,9 @@ def main():
         "fast24_quality_rays_per_sec": round(fast24_rays_per_sec, 1),
         "fast64_rays_per_sec": round(fast_rays_per_sec, 1),
         "parity_path_rays_per_sec": round(parity_rays_per_sec, 1),
+        "blender_fast_rays_per_sec": round(blender_fast_rays_per_sec, 1),
+        "universal_rays_per_sec": round(universal_rays_per_sec, 1),
+        "refine_steps_per_sec": rep_refine["steps_per_sec"],
         "eval_render_rays_per_sec": eval_rays_per_sec,
         "eval_metrics_rays_per_sec": eval_metrics_rays_per_sec,
         # Per-config detail: rep spread (sorted 3 reps), per-step time,
@@ -401,6 +495,9 @@ def main():
             "fast64": rep_fast,
             "parity": rep_parity,
             "ds4": rep_ds4,
+            "blender_fast_ni48": rep_blender,
+            "universal_ni48": rep_uni,
+            "refine": rep_refine,
             "eval_render": rep_eval,
             "eval_metrics_device": rep_evm,
         },
