@@ -230,6 +230,48 @@ class LLFFDownXDataset:
                             c0 * self.ds:c0 * self.ds + plen]
         return patch
 
+    def gan_raygen_buffers(self):
+        """Device-residency inputs for the in-scan adversarial patch
+        step (``NeRFDownXSystem.train_steps_scan_gan``): instead of the
+        host building one patch's rays per ``gan_step`` call
+        (``gan_patch`` above — a full ``_pose_rays_grouped`` + image
+        load + upload every --gan_iter steps), the camera-space HR
+        direction grid, the usable-view poses and the 'real' HR pixels
+        upload ONCE; the patch's rays are then generated inside the
+        compiled scan from (grid slice, pose) exactly like eval raygen
+        (``NeRFSystem._render_dirs_chunks``). Returns (buffers dict,
+        static geom tuple) — geom as in ``eval_raygen_spec``.
+
+        ``real_idx`` maps each usable view to its row in ``reals``
+        (constant ref row unless --all_ref, parity with ``gan_patch``'s
+        source selection; reference ``data/llff_downX_dataset.py:
+        440-464``)."""
+        usable = self._usable_views()
+        poses = np.stack([self.poses[i] for i in usable]).astype(
+            np.float32)
+        ref_idx = getattr(self.opt, "ref_idx", 0)
+        if self.opt.all_ref:
+            reals = np.stack([load_image(self.image_paths[i],
+                                         self.img_wh) for i in usable])
+            real_idx = np.arange(len(usable), dtype=np.int32)
+        else:
+            reals = load_image(self.image_paths[ref_idx],
+                               self.img_wh)[None]
+            real_idx = np.zeros(len(usable), np.int32)
+        near, far = self._near_far()
+        if self.spheric:
+            geom = ("world", float(near), float(far))
+        else:
+            w, h = self.img_wh
+            geom = ("ndc", h, w, float(self.focal), float(near),
+                    float(far))
+        return {
+            "dirs_hw": self.directions.astype(np.float32),  # (h, w, 3)
+            "poses": poses,                                 # (n, 3, 4)
+            "reals": reals.astype(np.float32),              # (m, h, w, 3)
+            "real_idx": real_idx,                           # (n,)
+        }, geom
+
     def eval_raygen_spec(self, idx):
         """Pose + static geometry for device-side eval raygen (see
         ``NeRFSystem.render_pose``)."""

@@ -131,6 +131,20 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
             jax.random.PRNGKey(opt.seed + 1))
         print("[train] adversarial patch training enabled")
 
+    # device-raygen buffers for the in-scan GAN / reg_patch updates:
+    # the direction grid + poses + 'real' pixels upload ONCE, and the
+    # per-firing patch is built inside the compiled scan (the
+    # single-dispatch fallbacks below instead pay a host patch build +
+    # upload + ~30-48 ms round trip per firing).
+    reg_mode = (getattr(opt, "reg_patch", False)
+                and hasattr(system, "reg_patch_step")
+                and hasattr(train_ds, "patch_buffer"))
+    gan_dev, gan_geom = None, None
+    if ((gan_state is not None or reg_mode)
+            and hasattr(train_ds, "gan_raygen_buffers")):
+        bufs, gan_geom = train_ds.gan_raygen_buffers()
+        gan_dev = jax.tree_util.tree_map(jnp.asarray, bufs)
+
     val_ds = None
     try:
         val_ds = create_dataset(opt, opt.val_split)
@@ -183,6 +197,7 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
             use_warm = (warm_buffer is not None
                         and global_step < warmup_iters)
             src = warm_buffer if use_warm else buffer
+            aux_in_scan = False  # set by the gan/reg-folding scans
             if use_warm and patch_mode:
                 # The warm-up split is a FLAT ray buffer while patch
                 # mode's source is image-structured; feeding the flat
@@ -232,14 +247,33 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
             elif can_scan and not use_warm and \
                     steps_per_epoch - it >= scan_k:
                 k = scan_k  # fixed chunk => one compiled scan program
-                state, losses = system.train_steps_scan(state, src, k, key)
+                gan_on = (gan_state is not None and gan_dev is not None
+                          and epoch > getattr(opt, "start_epoch", 0))
+                reg_on = reg_mode and gan_dev is not None
+                if gan_on:
+                    # GAN (and optionally reg) updates fire INSIDE the
+                    # scan at their exact cadences — zero per-firing
+                    # host work (see train_steps_scan_gan)
+                    aux_in_scan = True
+                    state, gan_state, losses = \
+                        system.train_steps_scan_gan(
+                            state, gan_state, src, gan_dev, k, gan_geom,
+                            key, jnp.int32(it), reg_on)
+                elif reg_on:
+                    aux_in_scan = True
+                    state, losses = system.train_steps_scan_reg(
+                        state, src, gan_dev, k, gan_geom, key,
+                        jnp.int32(it))
+                else:
+                    state, losses = system.train_steps_scan(state, src,
+                                                            k, key)
             else:
                 k = 1
                 state, losses = system.train_step_from_buffer(state, src,
                                                               key)
             global_step += k
             it += k
-            if (gan_state is not None
+            if (gan_state is not None and not aux_in_scan
                     and epoch > getattr(opt, "start_epoch", 0)
                     and global_step % max(1, opt.gan_iter) < k):
                 patch = jax.tree_util.tree_map(
@@ -249,9 +283,7 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                 losses = {**losses, **gan_losses}
             # TV patch regularization (--reg_patch; reference
             # regularize_patch hook)
-            if (getattr(opt, "reg_patch", False)
-                    and hasattr(system, "reg_patch_step")
-                    and hasattr(train_ds, "patch_buffer")
+            if (reg_mode and not aux_in_scan
                     and global_step % max(1, opt.reg_patch_freq) < k):
                 pb = train_ds.patch_buffer(gan_rng, 1)[0]
                 pb = jax.tree_util.tree_map(jnp.asarray, pb)

@@ -172,13 +172,24 @@ class NeRFDownXSystem(NeRFSystem):
         step_key = jax.random.fold_in(key, state.step)
         side = self.opt.reg_patch_len * self.ds
 
+        plen_lr, ds = self.opt.reg_patch_len, self.ds
+
         def loss_fn(params):
             rays = self._flat_rays(patch_batch)
             out = self.render(params, rays, step_key, randomized=bool(self.opt.randomized))
             loss = 0.0
             for level in ("coarse_rgb", "fine_rgb"):
                 if level in out:
-                    img = out[level].reshape(1, side, side, -1)
+                    # grouped flat rows -> HR SPATIAL order before TV
+                    # (parity: the reference rearranges '(h1 w1)(s1 s2)
+                    # c -> (h1 s1)(w1 s2) c' BEFORE rendering,
+                    # llff_downX_dataset.py:436-437 — TV on the grouped
+                    # permutation would penalize sub-pixel layout, not
+                    # image smoothness)
+                    img = out[level].reshape(plen_lr, plen_lr, ds, ds,
+                                             -1)
+                    img = img.transpose(0, 2, 1, 3, 4).reshape(
+                        1, side, side, -1)
                     loss = loss + tv_loss(img)
             loss = loss * self.opt.reg_lambda_tv
             return loss, {"patch": loss}
@@ -225,18 +236,25 @@ class NeRFDownXSystem(NeRFSystem):
         penalty to the D loss (the reference's backward_D, :518-533,
         omits it — which makes its wgangp objective unbounded; fixed
         here rather than reproduced)."""
+        step_key = jax.random.fold_in(key, state.step)
+        flat = {k: v.reshape(-1, v.shape[-1]) for k, v in patch.items()}
+        rays = self._batch_to_rays(flat)
+        real = patch["rgbs"][None]                      # (1, P, P, 3)
+        return self._gan_update_impl(state, d_state, rays, real,
+                                     step_key)
+
+    def _gan_update_impl(self, state, d_state, rays, real, step_key):
+        """Shared D+G adversarial update over one patch's rays (called
+        from the single-dispatch ``gan_step`` and from inside
+        ``train_steps_scan_gan``'s compiled loop)."""
         import optax
         from nerfsr_tpu.models.criterions import (gan_loss,
                                                   wgan_gradient_penalty)
 
         opt = self.opt
         plen = opt.patch_len
-        step_key = jax.random.fold_in(key, state.step)
-        flat = {k: v.reshape(-1, v.shape[-1]) for k, v in patch.items()}
-        real = patch["rgbs"][None]                      # (1, P, P, 3)
 
         def render_patch(params):
-            rays = self._batch_to_rays(flat)
             out = self.render(params, rays, step_key, randomized=bool(self.opt.randomized))
             return out["fine_rgb"].reshape(1, plen, plen, 3)
 
@@ -284,6 +302,210 @@ class NeRFDownXSystem(NeRFSystem):
                            "batch_stats": d_state["batch_stats"],
                            "opt_state": d_opt}, \
             {"G_GAN": g_gan, "D_real": d_real, "D_fake": d_fake}
+
+    def _patch_rays_at(self, gan_bufs, geom, view_i, r0, c0, side):
+        """HR-spatial-order rays of a ``side x side`` patch at HR pixel
+        (r0, c0) of view ``view_i``, built ON DEVICE from the uploaded
+        raygen buffers (``LLFFDownXDataset.gan_raygen_buffers``):
+        dynamic-slice the (h, w, 3) camera-space direction grid, rotate
+        by the view's pose, NDC-warp per the static ``geom`` — the same
+        math as the host patch samplers, without per-call host work or
+        upload. Row k*side+j is HR pixel (r0+k, c0+j) (scan order, so a
+        rendered patch reshapes straight to (side, side))."""
+        from nerfsr_tpu.core.rays import get_rays, make_rays, ndc_rays
+
+        d = jax.lax.dynamic_slice(gan_bufs["dirs_hw"], (r0, c0, 0),
+                                  (side, side, 3)).reshape(-1, 3)
+        c2w = jax.lax.dynamic_index_in_dim(gan_bufs["poses"], view_i,
+                                           keepdims=False)
+        ro, rd = get_rays(d, c2w)
+        if geom[0] == "ndc":
+            _, h, w, focal, near, far = geom
+            ro, rd = ndc_rays(h, w, focal, 1.0, ro, rd)
+        else:
+            _, near, far = geom
+        return make_rays(ro, rd, near, far, rd)
+
+    def _gan_patch_at(self, gan_bufs, geom, view_i, r0_lr, c0_lr):
+        """Adversarial patch: ``_patch_rays_at`` rays (HR order, like
+        the host ``gan_patch``'s ungrouped fields) + the 'real' HR
+        pixels at the same location."""
+        plen = self.opt.patch_len
+        r0 = r0_lr * self.ds
+        c0 = c0_lr * self.ds
+        rays = self._patch_rays_at(gan_bufs, geom, view_i, r0, c0, plen)
+        ri = jax.lax.dynamic_index_in_dim(gan_bufs["real_idx"], view_i,
+                                          keepdims=False)
+        real = jax.lax.dynamic_slice(
+            gan_bufs["reals"], (ri, r0, c0, 0), (1, plen, plen, 3))
+        return rays, real
+
+    def _gan_sample_patch(self, gan_bufs, geom, key):
+        """Random (view, LR-aligned location) -> patch rays + real,
+        mirroring the host sampler's domain (``gan_patch``: view from
+        the usable pool, r0/c0 uniform over LR positions where the HR
+        patch fits)."""
+        plen_lr = self.opt.patch_len // self.ds
+        h, w = gan_bufs["dirs_hw"].shape[:2]
+        hl, wl = h // self.ds, w // self.ds
+        kv, kr, kc = jax.random.split(key, 3)
+        view_i = jax.random.randint(kv, (), 0,
+                                    gan_bufs["poses"].shape[0])
+        r0_lr = jax.random.randint(kr, (), 0, hl - plen_lr)
+        c0_lr = jax.random.randint(kc, (), 0, wl - plen_lr)
+        return self._gan_patch_at(gan_bufs, geom, view_i, r0_lr, c0_lr)
+
+    def _reg_update_impl(self, state, rays, step_key):
+        """TV-regularization G update over one device-raygen HR patch
+        (same objective as ``reg_patch_step``; the rays are HR spatial
+        order, so the render reshapes straight to (side, side))."""
+        import optax
+        from nerfsr_tpu.models.criterions import tv_loss
+
+        side = self.opt.reg_patch_len * self.ds
+
+        def loss_fn(params):
+            out = self.render(params, rays, step_key,
+                              randomized=bool(self.opt.randomized))
+            loss = 0.0
+            for level in ("coarse_rgb", "fine_rgb"):
+                if level in out:
+                    loss = loss + tv_loss(
+                        out[level].reshape(1, side, side, -1))
+            loss = loss * self.opt.reg_lambda_tv
+            return loss, {"patch": loss}
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), losses
+
+    def _reg_sample_rays(self, gan_bufs, geom, key):
+        """Random reg-patch location -> HR-spatial rays, mirroring the
+        host ``patch_buffer`` sampler's domain (row/col uniform over
+        hl - plen + 1 LR positions, ``data/llff_downx.py``)."""
+        plen_lr = self.opt.reg_patch_len
+        h, w = gan_bufs["dirs_hw"].shape[:2]
+        hl, wl = h // self.ds, w // self.ds
+        kv, kr, kc = jax.random.split(key, 3)
+        view_i = jax.random.randint(kv, (), 0,
+                                    gan_bufs["poses"].shape[0])
+        r0_lr = jax.random.randint(kr, (), 0, hl - plen_lr + 1)
+        c0_lr = jax.random.randint(kc, (), 0, wl - plen_lr + 1)
+        return self._patch_rays_at(gan_bufs, geom, view_i,
+                                   r0_lr * self.ds, c0_lr * self.ds,
+                                   plen_lr * self.ds)
+
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 9),
+                       donate_argnums=(1, 2))
+    def train_steps_scan_gan(self, state: TrainState, d_state, buffer,
+                             gan_bufs, n_steps: int, geom, key, it0,
+                             with_reg: bool = False):
+        """``n_steps`` buffer-sampled main steps with the adversarial
+        D+G update folded INTO the compiled scan at the --gan_iter
+        cadence (``lax.cond``; the engine's single-dispatch form pays a
+        ~30-48 ms host round trip + a host-built patch upload every
+        firing — at the primary's 1.2 ms/step a gan_iter=10 cadence
+        would otherwise dominate wall time). Patch rays are generated
+        on device (``_gan_sample_patch``), so the scan needs zero
+        per-step host traffic. ``with_reg=True`` additionally folds the
+        --reg_patch TV update in at the --reg_patch_freq cadence.
+
+        Cadence parity with the engine loop: the update fires after the
+        main step that brings the within-epoch iteration ``it0 + i + 1``
+        to a multiple of gan_iter (reference ``train.py`` gan hook:
+        every --gan_iter iterations). Returns (state, d_state, losses)
+        where losses carry the LAST main-step losses + the most recent
+        GAN/reg losses (zeros until the first firing)."""
+        n_total = buffer["rgbs"].shape[0]
+        gan_iter = max(1, int(self.opt.gan_iter))
+        reg_freq = max(1, int(getattr(self.opt, "reg_patch_freq", 1)))
+
+        def body(carry, i):
+            state, d_state, gl, rl = carry
+            step_key = jax.random.fold_in(key, state.step)
+            idx_key, render_key = jax.random.split(step_key)
+            idx = jax.random.randint(
+                idx_key, (self.opt.batch_size,), 0, n_total)
+            batch = jax.tree_util.tree_map(lambda x: x[idx], buffer)
+            state, losses = self._train_step_impl(state, batch,
+                                                  render_key)
+            it = it0 + i + 1
+
+            def fire_gan(args):
+                st, ds_, _ = args
+                gk = jax.random.fold_in(
+                    jax.random.fold_in(key, st.step), 101)
+                rays, real = self._gan_sample_patch(gan_bufs, geom, gk)
+                return self._gan_update_impl(st, ds_, rays, real, gk)
+
+            state, d_state, gl = jax.lax.cond(
+                (it % gan_iter) == 0, fire_gan, lambda args: args,
+                (state, d_state, gl))
+            if with_reg:
+                def fire_reg(args):
+                    st, _ = args
+                    rk = jax.random.fold_in(
+                        jax.random.fold_in(key, st.step), 202)
+                    rays = self._reg_sample_rays(gan_bufs, geom, rk)
+                    return self._reg_update_impl(st, rays, rk)
+
+                state, rl = jax.lax.cond(
+                    (it % reg_freq) == 0, fire_reg, lambda args: args,
+                    (state, rl))
+            return (state, d_state, gl, rl), losses
+
+        gl0 = {"G_GAN": jnp.float32(0.0), "D_real": jnp.float32(0.0),
+               "D_fake": jnp.float32(0.0)}
+        rl0 = {"patch": jnp.float32(0.0)}
+        (state, d_state, gl, rl), losses = jax.lax.scan(
+            body, (state, d_state, gl0, rl0), jnp.arange(n_steps))
+        losses = jax.tree_util.tree_map(lambda x: x[-1], losses)
+        extra = {**gl, **rl} if with_reg else gl
+        return state, d_state, {**losses, **extra}
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5),
+                       donate_argnums=1)
+    def train_steps_scan_reg(self, state: TrainState, buffer, gan_bufs,
+                             n_steps: int, geom, key, it0):
+        """``n_steps`` buffer-sampled main steps with the --reg_patch TV
+        update folded into the scan at --reg_patch_freq (the GAN-less
+        sibling of ``train_steps_scan_gan``; the single-dispatch
+        ``reg_patch_step`` additionally pays a full host
+        ``_pose_rays_grouped`` build per firing)."""
+        n_total = buffer["rgbs"].shape[0]
+        reg_freq = max(1, int(getattr(self.opt, "reg_patch_freq", 1)))
+
+        def body(carry, i):
+            state, rl = carry
+            step_key = jax.random.fold_in(key, state.step)
+            idx_key, render_key = jax.random.split(step_key)
+            idx = jax.random.randint(
+                idx_key, (self.opt.batch_size,), 0, n_total)
+            batch = jax.tree_util.tree_map(lambda x: x[idx], buffer)
+            state, losses = self._train_step_impl(state, batch,
+                                                  render_key)
+
+            def fire_reg(args):
+                st, _ = args
+                rk = jax.random.fold_in(
+                    jax.random.fold_in(key, st.step), 202)
+                rays = self._reg_sample_rays(gan_bufs, geom, rk)
+                return self._reg_update_impl(st, rays, rk)
+
+            state, rl = jax.lax.cond(
+                ((it0 + i + 1) % reg_freq) == 0, fire_reg,
+                lambda args: args, (state, rl))
+            return (state, rl), losses
+
+        rl0 = {"patch": jnp.float32(0.0)}
+        (state, rl), losses = jax.lax.scan(
+            body, (state, rl0), jnp.arange(n_steps))
+        losses = jax.tree_util.tree_map(lambda x: x[-1], losses)
+        return state, {**losses, **rl}
 
     # ------------------------------------------------------------------
     # evaluation: render HR, report both LR (subpixel mean) and HR (ori)

@@ -141,6 +141,60 @@ class TestEngineTrain:
         assert int(state.step) == 4
         assert calls["scan"] == 2 and calls["single"] == 0, calls
 
+    def test_gan_and_reg_route_to_scan(self, llff_scene, tmp_path,
+                                       monkeypatch):
+        """--with_netD (+ --reg_patch) + --scan_steps folds the D+G and
+        TV updates INTO the compiled scan with device raygen
+        (train_steps_scan_gan with_reg=True); the single-dispatch
+        gan_step/reg_patch_step fallbacks never fire."""
+        from nerfsr_tpu import engine
+        from nerfsr_tpu.models.nerf_downx_system import NeRFDownXSystem
+
+        calls = {"scan_gan": 0, "gan": 0, "reg": 0, "with_reg": None}
+        orig = NeRFDownXSystem.train_steps_scan_gan
+
+        def spy_scan(self, *a, **k):
+            calls["scan_gan"] += 1
+            calls["with_reg"] = a[-1] if a else k.get("with_reg")
+            return orig(self, *a, **k)
+
+        def spy_gan(self, *a, **k):
+            calls["gan"] += 1
+            raise AssertionError("single-dispatch gan_step fired")
+
+        def spy_reg(self, *a, **k):
+            calls["reg"] += 1
+            raise AssertionError("single-dispatch reg_patch_step fired")
+
+        monkeypatch.setattr(NeRFDownXSystem, "train_steps_scan_gan",
+                            spy_scan)
+        monkeypatch.setattr(NeRFDownXSystem, "gan_step", spy_gan)
+        monkeypatch.setattr(NeRFDownXSystem, "reg_patch_step", spy_reg)
+        # own 64px scene: the discriminator supports patch_len 32/64
+        # only (networks.py NLayerDiscriminator parity)
+        from tools.make_synthetic_llff import make_llff_scene
+        scene = str(tmp_path / "gs")
+        make_llff_scene(scene, hw=(64, 64), n_imgs=3)
+        opt = default_options(
+            "train", model="nerf_downX", dataset_mode="llff_downX",
+            dataset_root=scene, img_wh=(64, 64), downscale=2,
+            with_netD=True, patch_len=32, gan_mode="lsgan", gan_iter=2,
+            reg_patch=True, reg_patch_len=2, reg_patch_freq=2,
+            batch_size=8, N_coarse=4, N_importance=4,
+            D=2, W=16, deg_pos=2, deg_dir=1, precision="f32",
+            n_epochs=1, n_epochs_decay=0, steps_per_epoch=4,
+            scan_steps=2, log_every=0, save_epoch_freq=0,
+            val_epoch_freq=0, vis_epoch_freq=0, val_freq=0,
+            checkpoints_dir=str(tmp_path / "ck"),
+            summary_dir=str(tmp_path / "runs"), name="ganscan")
+        state = engine.train(opt)
+        # 4 main steps + 2 gan firings + 2 reg firings (its 2 and 4)
+        # — each aux update advances state.step like its single-dispatch
+        # form does
+        assert int(state.step) == 8
+        assert calls["scan_gan"] == 2 and calls["gan"] == 0
+        assert calls["reg"] == 0 and calls["with_reg"] is True
+
     def test_zero_cadence_flags_do_not_crash(self, blender_scene,
                                              tmp_path):
         """--val_epoch_freq 0 / --save_epoch_freq 0 / --print_freq 0

@@ -102,6 +102,163 @@ class TestDownXGanStep:
                                    atol=1e-5)
 
 
+class TestDeviceGanScan:
+    """In-scan adversarial / reg-patch updates with device raygen
+    (train_steps_scan_gan / train_steps_scan_reg): the patch is built
+    on device from (direction grid, pose) instead of a host
+    _pose_rays_grouped + upload per firing."""
+
+    def _setup(self, tmp_path, **kw):
+        from tools.make_synthetic_llff import make_llff_scene
+        from nerfsr_tpu.data import create_dataset
+
+        scene = str(tmp_path / "s")
+        make_llff_scene(scene, hw=(64, 64), n_imgs=3)
+        base = dict(model="nerf_downX", dataset_mode="llff_downX",
+                    dataset_root=scene, img_wh=(64, 64), downscale=2,
+                    batch_size=8, N_coarse=4, N_importance=4, D=2, W=16,
+                    deg_pos=2, deg_dir=1, precision="f32", n_epochs=1,
+                    n_epochs_decay=0, with_netD=True, patch_len=32,
+                    gan_mode="lsgan", noise_std=0.0, randomized=False)
+        base.update(kw)
+        opt = default_options("train", **base)
+        sys_ = create_model(opt)
+        ds = create_dataset(opt, "train")
+        return opt, sys_, ds
+
+    def test_device_patch_raygen_matches_host(self, tmp_path):
+        """_gan_patch_at at a FIXED (view, r0, c0) reproduces the host
+        gan_patch's ray fields and real pixels exactly (same NDC math,
+        same source image)."""
+        from nerfsr_tpu.data.downx_common import ungroup_subpixels
+
+        opt, sys_, ds = self._setup(tmp_path)
+        bufs_np, geom = ds.gan_raygen_buffers()
+        bufs = jax.tree_util.tree_map(jnp.asarray, bufs_np)
+        view_i, r0_lr, c0_lr = 1, 2, 3
+        rays, real = sys_._gan_patch_at(
+            bufs, geom, jnp.int32(view_i), jnp.int32(r0_lr),
+            jnp.int32(c0_lr))
+
+        # host counterpart at the same location (gan_patch internals
+        # with the randomness pinned)
+        plen, ds_f = opt.patch_len, opt.downscale
+        pl_lr, wl = plen // ds_f, opt.img_wh[0] // ds_f
+        usable = ds._usable_views()
+        g = ds._pose_rays_grouped(ds.poses[usable[view_i]])
+        idx = ((r0_lr + np.arange(pl_lr))[:, None] * wl
+               + (c0_lr + np.arange(pl_lr))[None, :]).reshape(-1)
+        host = {k: ungroup_subpixels(v[idx], (plen, plen), ds_f)
+                for k, v in g.items()}
+        np.testing.assert_allclose(
+            np.asarray(rays.origins).reshape(plen, plen, 3),
+            host["origins"], atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(rays.directions).reshape(plen, plen, 3),
+            host["directions"], atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(rays.near).reshape(plen, plen, 1),
+            host["near"], atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(rays.far).reshape(plen, plen, 1),
+            host["far"], atol=1e-6)
+        # real pixels: the reference view's HR crop at the HR location
+        from nerfsr_tpu.data.blender import load_image
+        img = load_image(ds.image_paths[0], opt.img_wh)
+        r0, c0 = r0_lr * ds_f, c0_lr * ds_f
+        np.testing.assert_allclose(
+            np.asarray(real)[0], img[r0:r0 + plen, c0:c0 + plen],
+            atol=1e-6)
+
+    def test_scan_gan_cadence(self, tmp_path):
+        """The in-scan D+G update fires exactly at the --gan_iter
+        cadence: no firing -> D params bit-identical and zero GAN
+        losses; firing -> D params move and losses are finite."""
+        from nerfsr_tpu.parallel.mesh import to_device_buffer
+
+        opt, sys_, ds = self._setup(tmp_path, gan_iter=10)
+        bufs_np, geom = ds.gan_raygen_buffers()
+        bufs = jax.tree_util.tree_map(jnp.asarray, bufs_np)
+        buffer = to_device_buffer(ds.ray_buffer(), None)
+        key = jax.random.PRNGKey(3)
+
+        # it0=0, 3 steps -> iterations 1..3, no multiple of 10
+        state = sys_.create_state(jax.random.PRNGKey(0), 5)
+        d_state = sys_.create_gan_state(jax.random.PRNGKey(1))
+        d_before = jax.device_get(d_state["params"])
+        st, d_st, losses = sys_.train_steps_scan_gan(
+            state, d_state, buffer, bufs, 3, geom, key, jnp.int32(0),
+            False)
+        assert float(losses["G_GAN"]) == 0.0
+        for a, b in zip(jax.tree_util.tree_leaves(d_before),
+                        jax.tree_util.tree_leaves(
+                            jax.device_get(d_st["params"]))):
+            np.testing.assert_array_equal(a, b)
+        assert int(st.step) == 3  # no extra step increments
+
+        # it0=7, 4 steps -> iterations 8..11, fires once at 10
+        state = sys_.create_state(jax.random.PRNGKey(0), 5)
+        d_state = sys_.create_gan_state(jax.random.PRNGKey(1))
+        st, d_st, losses = sys_.train_steps_scan_gan(
+            state, d_state, buffer, bufs, 4, geom, key, jnp.int32(7),
+            False)
+        for k in ("G_GAN", "D_real", "D_fake", "tot"):
+            assert np.isfinite(float(losses[k])), k
+        changed = any(
+            not np.array_equal(a, b) for a, b in zip(
+                jax.tree_util.tree_leaves(d_before),
+                jax.tree_util.tree_leaves(
+                    jax.device_get(d_st["params"]))))
+        assert changed
+        assert int(st.step) == 5  # 4 main + 1 gan step increment
+
+    def test_scan_reg_matches_host_reg_step(self, tmp_path):
+        """The device-raygen TV update reproduces the host
+        reg_patch_step's loss at the same patch location (tests BOTH
+        the raygen parity and the grouped->spatial ungrouping fix —
+        the reference TVs the SPATIAL patch,
+        llff_downX_dataset.py:436-437)."""
+        opt, sys_, ds = self._setup(tmp_path, reg_patch=True,
+                                    reg_patch_len=4, reg_lambda_tv=1.0)
+        bufs_np, geom = ds.gan_raygen_buffers()
+        bufs = jax.tree_util.tree_map(jnp.asarray, bufs_np)
+        view_i, r0_lr, c0_lr = 0, 1, 2
+        plen_lr, ds_f = opt.reg_patch_len, opt.downscale
+        wl = opt.img_wh[0] // ds_f
+
+        state = sys_.create_state(jax.random.PRNGKey(0), 5)
+        rays = sys_._patch_rays_at(
+            bufs, geom, jnp.int32(view_i), jnp.int32(r0_lr * ds_f),
+            jnp.int32(c0_lr * ds_f), plen_lr * ds_f)
+        _, la = sys_._reg_update_impl(state, rays, jax.random.PRNGKey(7))
+
+        usable = ds._usable_views()
+        g = ds._pose_rays_grouped(ds.poses[usable[view_i]])
+        idx = ((r0_lr + np.arange(plen_lr))[:, None] * wl
+               + (c0_lr + np.arange(plen_lr))[None, :]).reshape(-1)
+        pb = {k: jnp.asarray(v[idx]) for k, v in g.items()}
+        state2 = sys_.create_state(jax.random.PRNGKey(0), 5)
+        _, lb = sys_.reg_patch_step(state2, pb, jax.random.PRNGKey(9))
+        np.testing.assert_allclose(float(la["patch"]),
+                                   float(lb["patch"]), rtol=1e-5)
+
+    def test_scan_reg_runs_and_updates(self, tmp_path):
+        from nerfsr_tpu.parallel.mesh import to_device_buffer
+
+        opt, sys_, ds = self._setup(tmp_path, reg_patch=True,
+                                    reg_patch_len=4, reg_patch_freq=2)
+        bufs_np, geom = ds.gan_raygen_buffers()
+        bufs = jax.tree_util.tree_map(jnp.asarray, bufs_np)
+        buffer = to_device_buffer(ds.ray_buffer(), None)
+        state = sys_.create_state(jax.random.PRNGKey(0), 5)
+        st, losses = sys_.train_steps_scan_reg(
+            state, buffer, bufs, 4, geom, jax.random.PRNGKey(3),
+            jnp.int32(0))
+        assert np.isfinite(float(losses["patch"]))
+        assert float(losses["patch"]) != 0.0  # fired at its 2,4
+        assert np.isfinite(float(losses["tot"]))
+
+
 class TestRefineGanPool:
     def test_refine_gan_step_with_image_pool(self):
         """--refine_as_gan D-step trains on history-mixed fakes via

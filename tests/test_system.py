@@ -98,8 +98,29 @@ class TestNeRFSystem:
         assert "fine" not in state.params
 
 
+@pytest.fixture
+def no_persistent_cache():
+    """Quarantine from the persistent XLA compile cache: jax 0.9.0's
+    CPU backend SEGFAULTS serializing this file's 8-device train_step
+    executable when its compile crosses the 1s persist threshold (and
+    then segfaults again deserializing the torn entry a crashed writer
+    leaves behind). Only reproduces under full-suite process state —
+    solo runs compile <1s and skip caching. Disabling the cache for
+    these tests sidesteps both directions; every other sharded program
+    in the suite serializes fine."""
+    import jax
+    from jax._src import compilation_cache as cc
+
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    cc.reset_cache()  # cache use is memoized; force re-check (disabled)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+    cc.reset_cache()  # re-enable for subsequent tests
+
+
 class TestMeshTraining:
-    def test_sharded_train_step_matches_names(self):
+    def test_sharded_train_step_matches_names(self, no_persistent_cache):
         assert jax.device_count() >= 8, "conftest should force 8 cpu devices"
         opt = tiny_opt(batch_size=64)
         mesh = make_mesh(8)
@@ -136,7 +157,8 @@ class TestTemplateSystem:
 
 
 class TestDataParallelEquivalence:
-    def test_sharded_step_matches_single_device(self):
+    def test_sharded_step_matches_single_device(self,
+                                                no_persistent_cache):
         """DP correctness: the same batch through the 8-device sharded
         step and the unsharded step must produce (numerically) the same
         updated parameters — XLA's inserted collectives implement exact

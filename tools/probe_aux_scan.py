@@ -169,6 +169,63 @@ def main():
           f"({1/t_scan_p:6.1f} steps/s)  -> {t_single_p/t_scan_p:.1f}x "
           f"queued, {t_sync_p/t_scan_p:.1f}x sync")
 
+    # ---- GAN mode at the flagship fast config ----------------------
+    # engine-style (scan chunk + single-dispatch gan_step per firing,
+    # host patch build + upload each time) vs the fused
+    # train_steps_scan_gan (device raygen, lax.cond at the --gan_iter
+    # cadence inside ONE program)
+    import tempfile
+
+    from nerfsr_tpu.data import create_dataset
+    from tools.make_synthetic_llff import make_llff_scene
+
+    scene = os.path.join(tempfile.gettempdir(), "probe_gan_scene")
+    if not os.path.isdir(scene):
+        make_llff_scene(scene, hw=(504, 378), n_imgs=4)
+    opt_g = default_options(
+        "train", model="nerf_downX", dataset_mode="llff_downX",
+        dataset_root=scene, batch_size=512, N_coarse=64,
+        fast_preset="llff", precision="mixed", white_bkgd=False,
+        noise_std=1.0, downscale=2, include_var=True, with_netD=True,
+        patch_len=64, gan_mode="lsgan", gan_iter=10,
+        img_wh=(504, 378), n_epochs=30, n_epochs_decay=10)
+    system_g = create_model(opt_g)
+    state_g = system_g.create_state(jax.random.PRNGKey(0),
+                                    steps_per_epoch=2000)
+    d_state = system_g.create_gan_state(jax.random.PRNGKey(1))
+    ds_g = create_dataset(opt_g, "train")
+    buf_g = jax.tree_util.tree_map(jnp.asarray, ds_g.ray_buffer())
+    bufs_np, geom = ds_g.gan_raygen_buffers()
+    gan_dev = jax.tree_util.tree_map(jnp.asarray, bufs_np)
+    key = jax.random.PRNGKey(0)
+    grng = np.random.RandomState(0)
+    stg = {"s": state_g, "d": d_state}
+
+    def engine_style():
+        # one scan chunk of k steps + gan_iter's worth of single
+        # gan_step firings (k/gan_iter), as the engine fallback does
+        stg["s"], losses = system_g.train_steps_scan(
+            stg["s"], buf_g, k, key)
+        for _ in range(max(1, k // opt_g.gan_iter)):
+            patch = jax.tree_util.tree_map(
+                jnp.asarray, ds_g.gan_patch(grng))
+            stg["s"], stg["d"], gl = system_g.gan_step(
+                stg["s"], stg["d"], patch, key)
+        assert float(gl["G_GAN"]) == float(gl["G_GAN"])
+
+    def fused():
+        stg["s"], stg["d"], losses = system_g.train_steps_scan_gan(
+            stg["s"], stg["d"], buf_g, gan_dev, k, geom, key,
+            jnp.int32(0), False)
+        assert float(losses["tot"]) == float(losses["tot"])
+
+    t_eng = _timed(engine_style, args.reps) / k
+    t_fused = _timed(fused, args.reps) / k
+    print(f"gan engine-style:         {1e3*t_eng:7.2f} ms/step "
+          f"({1/t_eng:6.1f} steps/s)")
+    print(f"gan fused scan x{k}:      {1e3*t_fused:7.2f} ms/step "
+          f"({1/t_fused:6.1f} steps/s)  -> {t_eng/t_fused:.1f}x")
+
 
 if __name__ == "__main__":
     main()
