@@ -504,17 +504,22 @@ def train_refine(opt):
     val_freq = getattr(opt, "val_freq", 0)
     vis_freq = getattr(opt, "vis_freq", 0)
 
-    # Device-resident patch pipeline (non-GAN): upload the augmented
-    # image stacks to HBM once; each step samples its patch batch
-    # INSIDE the jitted scan (refine_system.train_steps_scan) — no
-    # per-step host->device traffic (a 32-patch batch is ~16 MB). The
-    # GAN path keeps host sampling (the ImagePool fake-history buffer
-    # is host-side by design).
-    dev_buffers = None
-    if (d_state is None and hasattr(dataset, "device_buffers")
+    # Device-resident patch pipeline: upload the augmented image
+    # stacks to HBM once; each step samples its patch batch INSIDE the
+    # jitted scan (refine_system.train_steps_scan) — no per-step
+    # host->device traffic (a 32-patch batch is ~16 MB). GAN mode
+    # scans too: the pix2pix fake-history pool rides the scan carry as
+    # device state (train_steps_scan_gan), replacing the host
+    # ImagePool + per-step dispatch.
+    dev_buffers, dev_pool = None, None
+    if (hasattr(dataset, "device_buffers")
             and hasattr(system, "train_steps_scan")):
         dev_buffers = jax.tree_util.tree_map(
             jnp.asarray, dataset.device_buffers())
+        if d_state is not None:
+            plen = opt.patch_len
+            dev_pool = {"buf": jnp.zeros((50, plen, plen, 3)),
+                        "n": jnp.int32(0)}
 
     global_step = int(state.step)
     val_counter = 0
@@ -527,8 +532,14 @@ def train_refine(opt):
                 k = min([epoch_left] +
                         [f - (global_step % f) for f in
                          (log_every, val_freq) if f and f > 0])
-                state, losses = system.train_steps_scan(
-                    state, dev_buffers, k, key)
+                if d_state is not None:
+                    state, d_state, dev_pool, losses = \
+                        system.train_steps_scan_gan(
+                            state, d_state, dev_pool, dev_buffers, key,
+                            k)
+                else:
+                    state, losses = system.train_steps_scan(
+                        state, dev_buffers, k, key)
                 global_step += k
                 epoch_left -= k
             else:

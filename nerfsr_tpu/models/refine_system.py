@@ -332,6 +332,9 @@ class RefineSystem:
         provides; the engine builds it from ``gan_fakes`` of the SAME
         step. Returns (state, d_state, losses, fakes)."""
         del key
+        return self._gan_step_impl(state, d_state, batch, pool_fakes)
+
+    def _gan_step_impl(self, state, d_state, batch, pool_fakes):
         gt = batch["gt_patch"]
 
         pred, mutated = self._apply(
@@ -381,6 +384,76 @@ class RefineSystem:
         losses = {"G_GAN": g_gan, "G_L1": g_l1, "D_real": d_real,
                   "D_fake": d_fake}
         return new_state, new_d, losses, pred_sg
+
+    def _pool_query(self, pool_buf, pool_n, imgs, key):
+        """In-jit pix2pix ImagePool (``utils/image_pool.py`` semantics,
+        sequential per image): while the buffer has free slots the
+        image is stored and returned as-is; once full, with p=1/2 the
+        image swaps with (and the D trains on) a uniformly random
+        buffered one, else it passes through untouched. RNG stream
+        differs from the host pool's numpy (training stochasticity
+        only, like ``_sample_patch_batch``)."""
+        pool_size = pool_buf.shape[0]
+
+        def body(carry, x):
+            buf, n = carry
+            img, k = x
+            k1, k2 = jax.random.split(k)
+            not_full = n < pool_size
+            swap = jax.random.uniform(k1) > 0.5
+            ridx = jax.random.randint(k2, (), 0, pool_size)
+            idx = jnp.where(not_full, n, ridx)
+            old = jax.lax.dynamic_index_in_dim(buf, idx, keepdims=False)
+            out = jnp.where(not_full | ~swap, img, old)
+            # store the image at idx when inserting or swapping; a
+            # no-swap step writes `old` back (identity update)
+            entry = jnp.where(not_full | swap, img, old)
+            buf = jax.lax.dynamic_update_index_in_dim(buf, entry, idx, 0)
+            return (buf, n + not_full.astype(n.dtype)), out
+
+        keys = jax.random.split(key, imgs.shape[0])
+        (pool_buf, pool_n), outs = jax.lax.scan(
+            body, (pool_buf, pool_n), (imgs, keys))
+        return pool_buf, pool_n, outs
+
+    @functools.partial(jax.jit, static_argnums=(0, 6),
+                       donate_argnums=(1, 2, 3))
+    def train_steps_scan_gan(self, state: RefineState, d_state, pool,
+                             buffers, key, n_steps: int):
+        """``n_steps`` --refine_as_gan G+D update pairs inside ONE
+        compiled program: in-jit patch sampling
+        (``_sample_patch_batch``), the pix2pix fake-history pool as
+        scan-carried device state (``_pool_query``), and the lsgan+L1
+        update (``_gan_step_impl``) — the GAN sibling of
+        ``train_steps_scan`` (the host loop pays a per-step host batch
+        build + pool query + dispatch round trip instead).
+
+        ``pool``: {"buf": (pool_size, P, P, 3), "n": ()} device state;
+        pass the returned pool back in on the next chunk. Engine
+        ordering parity: the pool is queried with THIS step's fakes
+        before the update consumes its result (``gan_fakes`` note).
+        Returns (state, d_state, pool, last-step losses)."""
+
+        def body(carry, _):
+            state, d_state, pbuf, pn = carry
+            step_key = jax.random.fold_in(key, state.step)
+            bk, pk = jax.random.split(step_key)
+            batch = self._sample_patch_batch(buffers, bk)
+            fakes, _ = self._apply(
+                {"params": state.params,
+                 "batch_stats": state.batch_stats},
+                batch["sr_patch"], batch["ref_patches"], train=True)
+            fakes = jax.lax.stop_gradient(fakes)
+            pbuf, pn, pool_fakes = self._pool_query(pbuf, pn, fakes, pk)
+            state, d_state, losses, _ = self._gan_step_impl(
+                state, d_state, batch, pool_fakes)
+            return (state, d_state, pbuf, pn), losses
+
+        (state, d_state, pbuf, pn), losses = jax.lax.scan(
+            body, (state, d_state, pool["buf"], pool["n"]), None,
+            length=n_steps)
+        losses = jax.tree_util.tree_map(lambda x: x[-1], losses)
+        return state, d_state, {"buf": pbuf, "n": pn}, losses
 
     # ------------------------------------------------------------------
     def refine_image(self, state, tiles, batch=8):

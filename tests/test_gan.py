@@ -259,6 +259,56 @@ class TestDeviceGanScan:
         assert np.isfinite(float(losses["tot"]))
 
 
+class TestDevicePoolQuery:
+    def test_pool_semantics(self):
+        """In-jit pix2pix pool (RefineSystem._pool_query): fill phase
+        passes images through while storing them; full phase returns
+        either the input or a previously-buffered image, and buffer
+        rows only ever change to images that were queried."""
+        opt = default_options(
+            "train", model="refine", dataset_mode="llff_refine",
+            patch_len=32, batch_size=2, num_ref_patches=2,
+            refine_network="unetgenerator", ngf=8, num_downs=3,
+            refine_with_l1=True, n_epochs=1, n_epochs_decay=0)
+        sys_ = create_model(opt)
+        S, P = 4, 8
+        pool = jnp.zeros((S, P, P, 3))
+        n = jnp.int32(0)
+
+        def imgs(vals):  # constant-valued, identifiable patches
+            return jnp.stack([jnp.full((P, P, 3), float(v))
+                              for v in vals])
+
+        # fill phase: 4 distinct images -> returned as-is, stored in order
+        pool, n, out = sys_._pool_query(pool, n, imgs([1, 2, 3, 4]),
+                                        jax.random.PRNGKey(0))
+        assert int(n) == 4
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(imgs([1, 2, 3, 4])))
+        np.testing.assert_array_equal(np.asarray(pool),
+                                      np.asarray(imgs([1, 2, 3, 4])))
+
+        # full phase: every output is the input or a buffered value;
+        # buffer rows afterwards hold only values ever queried
+        queried = {1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0}
+        pool2, n2, out2 = sys_._pool_query(
+            pool, n, imgs([5, 6, 7, 8]), jax.random.PRNGKey(1))
+        assert int(n2) == 4
+        for i, v in enumerate([5.0, 6.0, 7.0, 8.0]):
+            got = float(np.asarray(out2)[i, 0, 0, 0])
+            assert got in queried, got
+        for row in np.asarray(pool2)[:, 0, 0, 0]:
+            assert float(row) in queried
+        # across many keys the full-phase pool DOES sometimes swap
+        swapped = False
+        for s in range(8):
+            p3, _, o3 = sys_._pool_query(
+                pool, n, imgs([9]), jax.random.PRNGKey(100 + s))
+            if float(np.asarray(o3)[0, 0, 0, 0]) != 9.0:
+                swapped = True
+        assert swapped
+
+
 class TestRefineGanPool:
     def test_refine_gan_step_with_image_pool(self):
         """--refine_as_gan D-step trains on history-mixed fakes via

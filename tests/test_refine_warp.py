@@ -350,3 +350,38 @@ class TestTrainRefineEngine:
         assert int(state2.step) == 9
         out2 = capsys.readouterr().out
         assert "resumed from epoch 2" in out2
+
+    def test_gan_mode_routes_to_scan(self, scene, monkeypatch):
+        """--refine_as_gan trains through the compiled GAN scan (fake
+        pool as device carry, train_steps_scan_gan) — the host
+        ImagePool + per-step-dispatch loop never fires when the
+        dataset provides device buffers."""
+        from nerfsr_tpu import engine
+        from nerfsr_tpu.models.refine_system import RefineSystem
+
+        d, scene_dir, syn = scene
+        calls = {"scan_gan": 0, "single": 0}
+        orig = RefineSystem.train_steps_scan_gan
+
+        def spy_scan(self, *a, **k):
+            calls["scan_gan"] += 1
+            return orig(self, *a, **k)
+
+        def spy_single(self, *a, **k):
+            calls["single"] += 1
+            raise AssertionError("host-loop gan_train_step fired")
+
+        monkeypatch.setattr(RefineSystem, "train_steps_scan_gan",
+                            spy_scan)
+        monkeypatch.setattr(RefineSystem, "gan_train_step", spy_single)
+        kw = dict(dataset_root=scene_dir, syn_dataroot=syn,
+                  img_wh=(96, 96), patch_len=32, aug_num=3,
+                  refine_network="unetgenerator", ngf=8, num_downs=3,
+                  refine_as_gan=True, n_epochs=1,
+                  steps_per_epoch=4, val_freq=0, vis_freq=0,
+                  val_epoch_freq=0, save_epoch_freq=0, print_freq=2,
+                  checkpoints_dir=str(d / "ckpts_gan"),
+                  summary_dir=str(d / "runs_gan"), name="gscan")
+        state = engine.train_refine(refine_opt(**kw))
+        assert int(state.step) == 4
+        assert calls["scan_gan"] >= 1 and calls["single"] == 0
