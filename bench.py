@@ -248,6 +248,73 @@ def _bench_refine(n_steps=200):
     }
 
 
+def _bench_gan(n_steps=200):
+    """GAN-mode training throughput at the flagship fast config
+    (--with_netD --patch_len 64 --gan_iter 10, the capability surface
+    of reference models/nerf_downX_model.py train_gan :572-594): the
+    fused ``train_steps_scan_gan`` — D+G updates fire INSIDE the
+    compiled chunk at the gan_iter cadence with device patch raygen
+    (STATUS round-5: 2.7x the dispatch-per-firing form). Synthetic
+    raygen buffers at the flagship image geometry."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfsr_tpu.config import default_options
+    from nerfsr_tpu.models import create_model
+    from nerfsr_tpu.utils.devbench import grouped_buffer
+
+    ds = 2
+    opt = default_options(
+        "train", model="nerf_downX", dataset_mode="llff_downX",
+        batch_size=512, N_coarse=64, fast_preset="llff",
+        precision="mixed", white_bkgd=False, noise_std=1.0,
+        downscale=ds, include_var=True, with_netD=True, patch_len=64,
+        gan_mode="lsgan", gan_iter=10, img_wh=(504, 378),
+        n_epochs=30, n_epochs_decay=10)
+    system = create_model(opt)
+    state = system.create_state(jax.random.PRNGKey(0),
+                                steps_per_epoch=2000)
+    d_state = system.create_gan_state(jax.random.PRNGKey(1))
+    buf = grouped_buffer(1 << 16, ds * ds)
+    rng = np.random.RandomState(2)
+    h, w = 378, 504
+    dirs = rng.randn(h, w, 3).astype(np.float32)
+    dirs[..., 2] = -np.abs(dirs[..., 2]) - 0.5
+    gan_bufs = {
+        "dirs_hw": jnp.asarray(dirs),
+        "poses": jnp.asarray(
+            np.stack([np.eye(3, 4, dtype=np.float32)] * 4)),
+        "reals": jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32)),
+        "real_idx": jnp.zeros(4, np.int32),
+    }
+    geom = ("ndc", h, w, 407.6, 0.0, 1.0)
+    key = jax.random.PRNGKey(0)
+    state, d_state, losses = system.train_steps_scan_gan(
+        state, d_state, buf, gan_bufs, n_steps, geom, key,
+        jnp.int32(0), False)
+    assert float(losses["tot"]) == float(losses["tot"])  # compile+run
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, d_state, losses = system.train_steps_scan_gan(
+            state, d_state, buf, gan_bufs, n_steps, geom, key,
+            jnp.int32(0), False)
+        assert float(losses["tot"]) == float(losses["tot"])
+        times.append(time.perf_counter() - t0)
+    times = sorted(times)
+    med = times[1]
+    n_hr = 512 * ds * ds
+    return {
+        "rays_per_sec": round(n_steps * n_hr / med, 1),
+        "step_ms": round(1e3 * med / n_steps, 3),
+        "scan_steps": n_steps,
+        "reps_s": [round(t, 4) for t in times],
+        "config": "llff preset + with_netD plen64 gan_iter10 "
+                  "(fused scan, device patch raygen)",
+    }
+
+
 def main():
     from nerfsr_tpu.config import default_options
     from nerfsr_tpu.utils.devbench import (enable_compile_cache,
@@ -417,6 +484,10 @@ def main():
     # REFINE stage line: the 3rd pipeline stage's scanned step rate.
     rep_refine = _bench_refine()
 
+    # GAN-mode line: the fused in-scan adversarial update at the
+    # flagship fast config (round-5 addition).
+    rep_gan = _bench_gan()
+
     # ALSO: eval render throughput at flagship image size (504x378 =
     # 190512 HR rays; feeds the test/warp/refine pipeline stages).
     # Primary config; eval uses the fully-annealed pad (0.0).
@@ -480,6 +551,7 @@ def main():
         "blender_fast_rays_per_sec": round(blender_fast_rays_per_sec, 1),
         "universal_rays_per_sec": round(universal_rays_per_sec, 1),
         "refine_steps_per_sec": rep_refine["steps_per_sec"],
+        "gan_rays_per_sec": rep_gan["rays_per_sec"],
         "eval_render_rays_per_sec": eval_rays_per_sec,
         "eval_metrics_rays_per_sec": eval_metrics_rays_per_sec,
         # Per-config detail: rep spread (sorted 3 reps), per-step time,
@@ -498,6 +570,7 @@ def main():
             "blender_fast_ni48": rep_blender,
             "universal_ni48": rep_uni,
             "refine": rep_refine,
+            "gan_fused_scan": rep_gan,
             "eval_render": rep_eval,
             "eval_metrics_device": rep_evm,
         },
