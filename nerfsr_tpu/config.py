@@ -393,9 +393,12 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                         "coverage option; 0 = pure proposal sampling, "
                         "the configuration validated at parity quality "
                         "on LLFF)")
-    p.add_argument("--scan_steps", type=int, default=0,
+    p.add_argument("--scan_steps", type=int, default=20,
                    help="fold N optimization steps into one compiled "
-                        "lax.scan program (amortizes dispatch; 0 = off)")
+                        "lax.scan program (amortizes per-dispatch host "
+                        "overhead — the production default; 0 = one "
+                        "dispatch per step). Epochs shorter than N fall "
+                        "back to single steps automatically.")
     p.add_argument("--profile_port", type=int, default=0,
                    help="start a jax.profiler server on this port")
     p.add_argument("--coordinator", type=str, default=None,
