@@ -143,7 +143,10 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
     if ((gan_state is not None or reg_mode)
             and hasattr(train_ds, "gan_raygen_buffers")):
         bufs, gan_geom = train_ds.gan_raygen_buffers()
-        gan_dev = jax.tree_util.tree_map(jnp.asarray, bufs)
+        # to_device_buffer (not plain asarray): on a multi-controller
+        # mesh the scan consumes these alongside globally-sharded
+        # state/buffers, so they must be GLOBAL replicated arrays too
+        gan_dev = to_device_buffer(bufs, mesh)
 
     val_ds = None
     try:
@@ -174,6 +177,8 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
         # before entering the jitted step over the cross-process mesh
         # (every process holds the identical seed-derived value)
         state = replicate(state, mesh)
+        if gan_state is not None:
+            gan_state = replicate(gan_state, mesh)
 
     global_step = int(state.step)
     t_start = time.time()
@@ -253,17 +258,20 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                 if gan_on:
                     # GAN (and optionally reg) updates fire INSIDE the
                     # scan at their exact cadences — zero per-firing
-                    # host work (see train_steps_scan_gan)
+                    # host work (see train_steps_scan_gan). it0 is the
+                    # GLOBAL step so the firing phase matches the
+                    # single-dispatch gate below across epoch
+                    # boundaries (reference gan hook: total iters).
                     aux_in_scan = True
                     state, gan_state, losses = \
                         system.train_steps_scan_gan(
                             state, gan_state, src, gan_dev, k, gan_geom,
-                            key, jnp.int32(it), reg_on)
+                            key, jnp.int32(global_step), reg_on)
                 elif reg_on:
                     aux_in_scan = True
                     state, losses = system.train_steps_scan_reg(
                         state, src, gan_dev, k, gan_geom, key,
-                        jnp.int32(it))
+                        jnp.int32(global_step))
                 else:
                     state, losses = system.train_steps_scan(state, src,
                                                             k, key)
@@ -438,7 +446,10 @@ def validate(opt, system, params, dataset, out_dir=None, max_images=None):
             sample = dataset.image_rays(i)
             if i not in metrics and sample.get("rgbs") is not None:
                 metrics[i] = system.eval_metrics(out, sample)
-            if out_dir is not None:
+            # every rank must CONSUME the pipelined renders (they are
+            # global-mesh computations), but only the master assembles
+            # the strips/gifs it alone will save
+            if out_dir is not None and is_master():
                 for v in system.eval_visuals(
                         out, sample, i, with_gt=True,
                         depth_bounds=dataset.depth_bounds):

@@ -415,9 +415,12 @@ class NeRFDownXSystem(NeRFSystem):
         --reg_patch TV update in at the --reg_patch_freq cadence.
 
         Cadence parity with the engine loop: the update fires after the
-        main step that brings the within-epoch iteration ``it0 + i + 1``
-        to a multiple of gan_iter (reference ``train.py`` gan hook:
-        every --gan_iter iterations). Returns (state, d_state, losses)
+        main step that brings iteration ``it0 + i + 1`` to a multiple
+        of gan_iter, where the engine passes the GLOBAL step as
+        ``it0`` so the phase is stable across epoch boundaries and
+        matches its single-dispatch fallback gate (reference
+        ``train.py`` gan hook: every --gan_iter total iterations).
+        Returns (state, d_state, losses)
         where losses carry the LAST main-step losses + the most recent
         GAN/reg losses (zeros until the first firing)."""
         n_total = buffer["rgbs"].shape[0]

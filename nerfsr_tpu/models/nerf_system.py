@@ -806,8 +806,13 @@ class NeRFSystem:
                 # multi-controller: every process holds the identical
                 # full grid; assemble the global sharded array from the
                 # per-process copies (jax.device_put cannot target
-                # non-addressable devices).
-                dev = jax.make_array_from_process_local_data(sh, stacked)
+                # non-addressable devices). global_shape is REQUIRED
+                # here: dim 1 is sharded across processes, and without
+                # it JAX infers a process-count-scaled global dim
+                # (local chunks concatenated), silently duplicating the
+                # grid and corrupting every multi-chunk eval.
+                dev = jax.make_array_from_process_local_data(
+                    sh, stacked, global_shape=stacked.shape)
             else:
                 dev = jax.device_put(stacked, sh)
         else:

@@ -60,6 +60,7 @@ def _use_orbax(opt) -> bool:
 
 
 _ORBAX_CKPTR = None
+_WARNED_ORBAX_MULTIHOST = False
 
 
 def _orbax_ckptr():
@@ -99,11 +100,26 @@ def save_checkpoint(opt, state, epoch) -> str:
     os.makedirs(_ckpt_dir(opt), exist_ok=True)
     state = jax.device_get(state)
     if _use_orbax(opt):
-        ckptr = _orbax_ckptr()
-        path = _orbax_path(opt, epoch)
-        ckptr.save(path, state, force=True)
-        ckptr.save(_orbax_path(opt, "latest"), state, force=True)
-        return path
+        if jax.process_count() > 1:
+            # StandardCheckpointer's save runs cross-process sync
+            # barriers that EVERY process must join, but engine saves
+            # are master-only (params are replicated under the DP
+            # mesh) — orbax would deadlock at the first commit. Fall
+            # back to the atomic msgpack writer on multi-controller
+            # runs; resume reads either format.
+            global _WARNED_ORBAX_MULTIHOST
+            if not _WARNED_ORBAX_MULTIHOST:
+                _WARNED_ORBAX_MULTIHOST = True
+                print("[checkpoint] --ckpt_backend orbax falls back "
+                      "to msgpack on multi-controller runs "
+                      "(master-only saves would deadlock orbax's "
+                      "cross-process barriers)")
+        else:
+            ckptr = _orbax_ckptr()
+            path = _orbax_path(opt, epoch)
+            ckptr.save(path, state, force=True)
+            ckptr.save(_orbax_path(opt, "latest"), state, force=True)
+            return path
     blob = flax.serialization.to_bytes(state)
     path = _path(opt, epoch)
     _atomic_write(path, blob)
@@ -148,14 +164,19 @@ def find_resume_epoch(opt) -> Optional[int]:
 def _resolve_ckpt_path(opt, epoch, name=None) -> str:
     """Pick the on-disk checkpoint for ``epoch``: prefer the configured
     backend's artifact, fall back to the other one if only that exists
-    (resume after a backend switch)."""
+    (resume after a backend switch). When BOTH exist, a torn msgpack
+    file yields to its intact orbax sibling instead of crashing the
+    load."""
     op = _orbax_path(opt, epoch, name)
     mp = _path(opt, epoch, name)
     order = (op, mp) if _use_orbax(opt) else (mp, op)
-    for p in order:
-        if os.path.exists(p):
-            return p
-    raise FileNotFoundError(order[0])
+    existing = [p for p in order if os.path.exists(p)]
+    if not existing:
+        raise FileNotFoundError(order[0])
+    if (len(existing) == 2 and existing[0].endswith(".msgpack")
+            and not checkpoint_is_valid(existing[0])):
+        return existing[1]
+    return existing[0]
 
 
 def _orbax_restore(path, state_template):
@@ -182,15 +203,21 @@ def load_checkpoint(opt, state_template, epoch=None, name=None):
             if fallback is None:
                 raise
             return load_checkpoint(opt, state_template, epoch=fallback)
-    if epoch == "latest" and name is None and not checkpoint_is_valid(path):
+    try:
+        with open(path, "rb") as f:
+            return flax.serialization.from_bytes(state_template, f.read())
+    except Exception:
         # A torn ``latest`` (pre-atomic writer / external truncation):
-        # fall back to the newest intact epoch file instead of crashing.
+        # fall back to the newest intact epoch file instead of
+        # crashing. (Parsing directly and catching the failure avoids
+        # a redundant full msgpack pre-validation parse on EVERY
+        # resume of a potentially multi-hundred-MB state.)
+        if epoch != "latest" or name is not None:
+            raise
         fallback = find_resume_epoch(opt)
         if fallback is None:
             raise OSError(f"corrupt checkpoint {path} and no valid fallback")
         return load_checkpoint(opt, state_template, epoch=fallback)
-    with open(path, "rb") as f:
-        return flax.serialization.from_bytes(state_template, f.read())
 
 
 def init_weights_from(opt, state, state_template):

@@ -182,6 +182,42 @@ class TestCheckpoint:
                         jax.tree_util.tree_leaves(crossed.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_orbax_multiprocess_falls_back_to_msgpack(
+            self, tmp_path, monkeypatch, capsys):
+        """Master-only saves would deadlock orbax's cross-process
+        barriers; on multi-controller runs the orbax backend must
+        write atomic msgpack instead (and say so once)."""
+        opt = tiny_opt(tmp_path, ckpt_backend="orbax")
+        sys_ = create_model(opt)
+        state = sys_.create_state(jax.random.PRNGKey(0), 10)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(ckpt, "_WARNED_ORBAX_MULTIHOST", False)
+        path = ckpt.save_checkpoint(opt, state, epoch=1)
+        assert path.endswith("1_state.msgpack")
+        assert "falls back to msgpack" in capsys.readouterr().out
+        template = sys_.create_state(jax.random.PRNGKey(9), 10)
+        restored = ckpt.load_checkpoint(opt, template, epoch=1)
+        assert int(restored.step) == int(state.step)
+
+    def test_torn_msgpack_yields_to_orbax_sibling(self, tmp_path):
+        """When both backends hold the same epoch and the msgpack file
+        is torn, resolution picks the intact orbax directory instead
+        of crashing the load."""
+        opt_o = tiny_opt(tmp_path, ckpt_backend="orbax")
+        sys_ = create_model(opt_o)
+        state = sys_.create_state(jax.random.PRNGKey(0), 10)
+        ckpt.save_checkpoint(opt_o, state, epoch=3)
+        ckpt.wait_for_saves()
+        d = os.path.join(str(tmp_path), "ck")
+        with open(os.path.join(d, "3_state.msgpack"), "wb") as f:
+            f.write(b"torn")
+        opt_m = tiny_opt(tmp_path, ckpt_backend="msgpack")
+        template = sys_.create_state(jax.random.PRNGKey(9), 10)
+        restored = ckpt.load_checkpoint(opt_m, template, epoch=3)
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_fix_layers_mask(self, tmp_path):
         opt = tiny_opt(tmp_path, fix_layers="coarse")
         sys_ = create_model(opt)

@@ -103,6 +103,12 @@ def test_two_process_distributed_train(tmp_path):
         # (zero full-readback fallbacks — VERDICT r4 weak #2)
         assert info["eval_fast_fallbacks"] == 0, info
         assert info["render_sum"] == info["render_sum"]  # not NaN
+        # the eval dirs grid assembled across processes must keep the
+        # GLOBAL (n_chunks, chunk, 3) shape = (2, 128, 3) at
+        # ray_chunk=128 over the 256-ray image (regression: omitting
+        # global_shape doubled the chunk axis and silently duplicated
+        # the grid — nerf_system._eval_dirs_device)
+        assert info["dirs_global_shapes"] == [[2, 128, 3]], info
     # ranks stayed in sync after the scanned steps: the replicated
     # params are bit-identical
     assert infos[0]["param_l1"] == infos[1]["param_l1"]

@@ -97,6 +97,11 @@ def main():
             white_bkgd=False, noise_std=0.0,
             steps_per_epoch=8, scan_steps=4, log_every=4,
             val_epoch_freq=1, val_freq=0,
+            # 2 chunks of 128 over the 256-ray image: eval must build a
+            # MULTI-chunk global dirs array (regression: without
+            # global_shape the cross-process assembly duplicated the
+            # grid along the chunk axis — see _eval_dirs_device)
+            ray_chunk=128,
             **common)
 
     # count device-metric eval usage across the run (the validate loops
@@ -127,6 +132,11 @@ def main():
     render = next(iter(system.render_eval_many(
         state.params, val_ds, [0])))
     render_sum = float(sum(float(v.sum()) for v in render.values()))
+    # the device dirs grid must be GLOBAL-shaped (n_chunks, chunk, 3) —
+    # not process-count-scaled (the global_shape regression)
+    dirs_shapes = [list(v[1].shape)
+                   for v in getattr(system, "_eval_dirs_cache",
+                                    {}).values()]
 
     os.makedirs(args.out, exist_ok=True)
     info = {
@@ -142,6 +152,7 @@ def main():
                 jax.device_get, jax.tree_util.tree_leaves(state.params)))),
         "eval_fast_fallbacks": calls["fast_none"],
         "render_sum": render_sum,
+        "dirs_global_shapes": dirs_shapes,
     }
     with open(os.path.join(args.out, f"proc{args.process_id}.json"),
               "w") as f:
