@@ -30,7 +30,10 @@ def create_dataset(opt, mode: str):
         try:
             importlib.import_module(f"nerfsr_tpu.data.{mod}")
         except ModuleNotFoundError as e:
-            if not (e.name or "").startswith("nerfsr_tpu"):
+            # tolerate only the dataset module ITSELF being absent
+            # (trimmed installs); a broken import INSIDE it must
+            # surface, not masquerade as "dataset not found"
+            if e.name != f"nerfsr_tpu.data.{mod}":
                 raise
     name = opt.dataset_mode
     if name not in DATASET_REGISTRY:

@@ -87,23 +87,29 @@ class BlenderDownXDataset:
         return {k: group_subpixels(v, self.ds) for k, v in
                 (("origins", ro), ("directions", rd))}
 
-    def _crop_hr(self, x):
-        """Center-crop an (h, w, ...) HR array by precrop_frac, keeping the
-        crop aligned to ds blocks."""
+    def _hr_crop_bounds(self):
+        """Center-crop window by precrop_frac with BOTH the size and
+        the START aligned to ds blocks: a start at h//2 - dh is only
+        block-aligned when h//2 is a ds multiple — otherwise the
+        grouped 'LR pixels' of the cropped rays would straddle two
+        real ds x ds blocks and the LR crop (derived from these same
+        bounds) would shift relative to them."""
         w, h = self.img_wh
         ds = self.ds
         dh = int(h // 2 * self.opt.precrop_frac) // ds * ds
         dw = int(w // 2 * self.opt.precrop_frac) // ds * ds
-        return x[h // 2 - dh:h // 2 + dh, w // 2 - dw:w // 2 + dw]
+        y0 = (h // 2 - dh) // ds * ds
+        x0 = (w // 2 - dw) // ds * ds
+        return y0, y0 + 2 * dh, x0, x0 + 2 * dw
+
+    def _crop_hr(self, x):
+        y0, y1, x0, x1 = self._hr_crop_bounds()
+        return x[y0:y1, x0:x1]
 
     def _crop_lr(self, x):
-        wl, hl = self.img_wh[0] // self.ds, self.img_wh[1] // self.ds
+        y0, y1, x0, x1 = self._hr_crop_bounds()
         ds = self.ds
-        dh = (int(self.img_wh[1] // 2 * self.opt.precrop_frac) // ds * ds) \
-            // ds
-        dw = (int(self.img_wh[0] // 2 * self.opt.precrop_frac) // ds * ds) \
-            // ds
-        return x[hl // 2 - dh:hl // 2 + dh, wl // 2 - dw:wl // 2 + dw]
+        return x[y0 // ds:y1 // ds, x0 // ds:x1 // ds]
 
     def ray_buffer(self):
         """Grouped training buffer: origins/dirs/near/far (N_lr, ds^2, .),

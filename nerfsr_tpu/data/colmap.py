@@ -186,17 +186,27 @@ def read_cameras_text(path) -> Dict[int, Camera]:
 
 
 def read_images_text(path) -> Dict[int, ColmapImage]:
+    """COLMAP writes TWO lines per image, and the POINTS2D line is
+    EMPTY for an image with zero observations — blanks are therefore
+    only skipped BETWEEN records; filtering them globally would desync
+    the header/points pairing from the first unobserved image on."""
     images = {}
     with open(path) as f:
-        lines = [ln.strip() for ln in f
-                 if ln.strip() and not ln.startswith("#")]
-    for head, pts in zip(lines[0::2], lines[1::2]):
+        raw = [ln.rstrip("\n") for ln in f]
+    i = 0
+    while i < len(raw):
+        head = raw[i].strip()
+        i += 1
+        if not head or head.startswith("#"):
+            continue
         el = head.split()
         img_id = int(el[0])
         qvec = np.array([float(x) for x in el[1:5]])
         tvec = np.array([float(x) for x in el[5:8]])
         cam_id = int(el[8])
         name = el[9]
+        pts = raw[i].strip() if i < len(raw) else ""
+        i += 1
         pel = pts.split()
         xys = np.array([float(x) for x in pel]).reshape(-1, 3) \
             if pel else np.zeros((0, 3))

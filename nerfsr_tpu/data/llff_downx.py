@@ -68,9 +68,15 @@ class LLFFDownXDataset:
             self.directions = _ray_dirs_np(h, w, self.focal,
                                            opt.use_pixel_centers)
         else:
-            # all ds^2 sub-pixels share the LR pixel-center direction
+            # all ds^2 sub-pixels share the LR pixel-center direction.
+            # focal / ds is TRUE division: the reference floor-divides
+            # (llff_downX_dataset.py:274 `self.focal//downscale`),
+            # truncating a float focal and expanding every ray
+            # direction by up to ~0.2% (~0.5 px at the image edge) —
+            # fixed here rather than reproduced, like the wgangp
+            # gradient penalty.
             lr_dirs = _ray_dirs_np(h // self.ds, w // self.ds,
-                                   self.focal // self.ds,
+                                   self.focal / self.ds,
                                    opt.use_pixel_centers)
             self.directions = np.repeat(
                 np.repeat(lr_dirs, self.ds, axis=0), self.ds, axis=1)
@@ -163,16 +169,35 @@ class LLFFDownXDataset:
     def ref_buffer(self):
         """Flat HR rays + rgbs of the reference view (index 0) for the
         --with_ref loss (parity: ``data/llff_downX_dataset.py:290-312``,
-        :335-363 — the downX variant keeps ref rays at img_wh)."""
-        from nerfsr_tpu.data.blender import load_image
+        :335-363 — the downX variant keeps ref rays at img_wh).
 
+        Rays flatten in GROUPED order (``_pose_rays_grouped``), so the
+        rgbs must be grouped the same way before flattening — the
+        reference groups BOTH (``:327-333`` rgbs, ``:355-359`` rays);
+        a raster-order image here would pair almost every ray with a
+        different pixel's color for ds>1."""
         ref_idx = getattr(self.opt, "ref_idx", 0)
         rays = self._pose_rays_grouped(self.poses[ref_idx])
         flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in rays.items()}
         img = load_image(self.image_paths[ref_idx], self.img_wh)
         flat["viewdirs"] = flat["directions"]
-        flat["rgbs"] = img.reshape(-1, 3).astype(np.float32)
+        flat["rgbs"] = group_subpixels(
+            img.astype(np.float32), self.ds).reshape(-1, 3)
         return flat
+
+    def _grouped_rays_for_view(self, i):
+        """Cached grouped ray fields for view ``i``: ``patch_buffer``
+        and ``gan_patch`` fire per --reg_patch_freq/--gan_iter steps on
+        the single-dispatch fallback path, and a full-image NDC raygen
+        (~190K rays at flagship size) per extracted ~patch is ~1000x
+        the useful work (the scan paths avoid this entirely via
+        ``gan_raygen_buffers``)."""
+        cache = getattr(self, "_grouped_cache", None)
+        if cache is None:
+            cache = self._grouped_cache = {}
+        if i not in cache:
+            cache[i] = self._pose_rays_grouped(self.poses[i])
+        return cache[i]
 
     def _usable_views(self):
         """Training-view indices shared by the auxiliary samplers: the
@@ -191,7 +216,7 @@ class LLFFDownXDataset:
         usable = self._usable_views()
         for _ in range(n_patches):
             i = usable[rng.randint(len(usable))]
-            rays = self._pose_rays_grouped(self.poses[i])
+            rays = self._grouped_rays_for_view(i)
             row = rng.randint(hl - plen + 1)
             col = rng.randint(wl - plen + 1)
             idx = (row + np.arange(plen))[:, None] * wl + \
@@ -206,7 +231,6 @@ class LLFFDownXDataset:
         rays from a random train view + the 'real' patch — the reference
         view's HR pixels at the same location (or the view's own HR gt
         with --all_ref)."""
-        from nerfsr_tpu.data.blender import load_image
         from nerfsr_tpu.data.downx_common import ungroup_subpixels
 
         plen = self.opt.patch_len
@@ -215,9 +239,13 @@ class LLFFDownXDataset:
         wl, hl = w // self.ds, h // self.ds
         usable = self._usable_views()
         i = usable[rng.randint(len(usable))]
-        r0 = rng.randint(hl - pl_lr)
-        c0 = rng.randint(wl - pl_lr)
-        rays = self._pose_rays_grouped(self.poses[i])
+        # exclusive upper bound = reference parity (the reference's gan
+        # sampler never draws the last valid row/col either,
+        # llff_downX_dataset.py:443-447); max(1, .) only guards the
+        # degenerate patch-spans-image case the reference would crash on
+        r0 = rng.randint(max(1, hl - pl_lr))
+        c0 = rng.randint(max(1, wl - pl_lr))
+        rays = self._grouped_rays_for_view(i)
         idx = ((r0 + np.arange(pl_lr))[:, None] * wl
                + (c0 + np.arange(pl_lr))[None, :]).reshape(-1)
         patch = {k: ungroup_subpixels(v[idx], (plen, plen), self.ds)

@@ -214,8 +214,10 @@ class LLFFRefineDataset:
         w, h = self.img_wh
         rng = self.rng
         i = idx % len(self.image_paths)
-        xs = rng.randint(0, w - plen)
-        ys = rng.randint(0, h - plen)
+        # max(1, .): a patch spanning the full image dimension must
+        # pin to 0, not crash randint(0, 0)
+        xs = rng.randint(0, max(1, w - plen))
+        ys = rng.randint(0, max(1, h - plen))
         k = self.opt.num_ref_patches
         ref_p = np.empty((k, plen, plen, 3), np.float32)
         rxl, rxh = max(0, xs - plen), min(w - plen, xs + plen)

@@ -343,16 +343,18 @@ class NeRFDownXSystem(NeRFSystem):
     def _gan_sample_patch(self, gan_bufs, geom, key):
         """Random (view, LR-aligned location) -> patch rays + real,
         mirroring the host sampler's domain (``gan_patch``: view from
-        the usable pool, r0/c0 uniform over LR positions where the HR
-        patch fits)."""
+        the usable pool, r0/c0 with the reference's EXCLUSIVE upper
+        bound — the last valid position is never drawn,
+        llff_downX_dataset.py:443-447; max(1, .) guards the
+        patch-spans-image degenerate case)."""
         plen_lr = self.opt.patch_len // self.ds
         h, w = gan_bufs["dirs_hw"].shape[:2]
         hl, wl = h // self.ds, w // self.ds
         kv, kr, kc = jax.random.split(key, 3)
         view_i = jax.random.randint(kv, (), 0,
                                     gan_bufs["poses"].shape[0])
-        r0_lr = jax.random.randint(kr, (), 0, hl - plen_lr)
-        c0_lr = jax.random.randint(kc, (), 0, wl - plen_lr)
+        r0_lr = jax.random.randint(kr, (), 0, max(1, hl - plen_lr))
+        c0_lr = jax.random.randint(kc, (), 0, max(1, wl - plen_lr))
         return self._gan_patch_at(gan_bufs, geom, view_i, r0_lr, c0_lr)
 
     def _reg_update_impl(self, state, rays, step_key):

@@ -69,6 +69,29 @@ class TestColmapRoundTrip:
         np.testing.assert_allclose(rp[7].xyz, [1.0, 2, 3])
         assert list(rp[7].image_ids) == [1, 2]
 
+    def test_images_text_zero_observation_image(self, tmp_path):
+        """COLMAP's images.txt has TWO lines per image; the POINTS2D
+        line is EMPTY for an image with zero observations. Regression:
+        filtering blank lines desynced the header/points pairing from
+        the first unobserved image on (crash or silently dropped
+        images)."""
+        from nerfsr_tpu.data.colmap import read_images_text
+
+        txt = (
+            "# images.txt\n"
+            "1 1 0 0 0 0.1 0.2 0.3 1 a.png\n"
+            "\n"  # zero observations
+            "2 1 0 0 0 0.4 0.5 0.6 1 b.png\n"
+            "1.5 2.5 7\n")
+        p = tmp_path / "images.txt"
+        p.write_text(txt)
+        imgs = read_images_text(str(p))
+        assert set(imgs) == {1, 2}
+        assert imgs[1].name == "a.png" and len(imgs[1].xys) == 0
+        assert imgs[2].name == "b.png" and len(imgs[2].xys) == 1
+        np.testing.assert_allclose(imgs[2].xys[0], [1.5, 2.5])
+        assert list(imgs[2].point3d_ids) == [7]
+
 
 class TestPoseMath:
     def test_center_poses_average_is_identity(self):

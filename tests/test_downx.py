@@ -100,6 +100,33 @@ class TestDownXDataset:
         crop = create_dataset(opt, "train_crop").ray_buffer()
         assert len(crop["rgbs"]) == len(full["rgbs"]) // 4
 
+    def test_crop_bounds_block_aligned_when_center_is_not(self):
+        """h//2 not a multiple of ds (h=36, ds=4 -> 18 % 4 == 2): the
+        crop window START must round to a ds block, or the grouped
+        'LR pixels' of the cropped rays straddle two real ds x ds
+        blocks and the LR crop shifts by h//2 % ds HR pixels relative
+        to them (regression)."""
+        from types import SimpleNamespace
+
+        from nerfsr_tpu.data.blender_downx import BlenderDownXDataset
+
+        d = object.__new__(BlenderDownXDataset)
+        d.img_wh = (36, 36)
+        d.ds = 4
+        d.opt = SimpleNamespace(precrop_frac=0.5)
+        y0, y1, x0, x1 = d._hr_crop_bounds()
+        for v in (y0, x0, y1 - y0, x1 - x0):
+            assert v % 4 == 0, (y0, y1, x0, x1)
+        assert 0 <= y0 and y1 <= 36 and y1 > y0
+        # LR crop derives from the SAME bounds (exact /ds relation)
+        hr = np.arange(36 * 36 * 3, dtype=np.float32).reshape(36, 36, 3)
+        lr = hr.reshape(9, 4, 9, 4, 3).mean((1, 3))
+        hr_c = d._crop_hr(hr)
+        lr_c = d._crop_lr(lr)
+        np.testing.assert_allclose(
+            lr_c, hr_c.reshape(lr_c.shape[0], 4, lr_c.shape[1], 4,
+                               3).mean((1, 3)), rtol=1e-6)
+
 
 class TestDownXSystem:
     def test_train_descends_and_var_losses(self, blender_scene):
@@ -225,3 +252,33 @@ class TestLLFFDownXOptions:
         ref = ds.ref_buffer()
         assert ref["origins"].shape == (24 * 24, 3)
         assert ref["rgbs"].shape == (24 * 24, 3)
+
+    def test_ref_buffer_rows_pair_rays_with_their_pixels(self,
+                                                         llff_scene):
+        """Every ref_buffer row must hold a ray AND the color of the
+        pixel that ray shoots through — both flatten in GROUPED order
+        (the reference groups both, llff_downX_dataset.py:327-333 +
+        :355-359). Regression: rgbs used raster order while the rays
+        were grouped, silently mis-pairing nearly every --with_ref
+        supervision sample for ds>1."""
+        from nerfsr_tpu.data import create_dataset
+        from nerfsr_tpu.data.blender import load_image
+        from nerfsr_tpu.data.downx_common import ungroup_subpixels
+
+        ds = create_dataset(self._opt(llff_scene), "train")
+        ref = ds.ref_buffer()
+        dsf = 2
+        # ungrouping the flat rows must recover RASTER-order data:
+        # directions -> the NDC-warped full-image grid, rgbs -> the
+        # image itself (if either were flattened in a different order
+        # the ungroup would scramble it)
+        grouped_dirs = ref["directions"].reshape(-1, dsf * dsf, 3)
+        raster_dirs = ungroup_subpixels(grouped_dirs, (24, 24), dsf)
+        full = ds._pose_rays_grouped(ds.poses[0])
+        expect_dirs = ungroup_subpixels(full["directions"], (24, 24),
+                                        dsf)
+        np.testing.assert_allclose(raster_dirs, expect_dirs, atol=1e-6)
+        grouped_rgb = ref["rgbs"].reshape(-1, dsf * dsf, 3)
+        raster_rgb = ungroup_subpixels(grouped_rgb, (24, 24), dsf)
+        img = load_image(ds.image_paths[0], (24, 24))
+        np.testing.assert_allclose(raster_rgb, img, atol=1e-6)
