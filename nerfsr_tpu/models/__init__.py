@@ -23,7 +23,10 @@ def create_model(opt):
         try:
             importlib.import_module(f"nerfsr_tpu.models.{mod}")
         except ModuleNotFoundError as e:
-            if not (e.name or "").startswith("nerfsr_tpu"):
+            # tolerate only the system module ITSELF being absent
+            # (trimmed installs); a broken import INSIDE it must
+            # surface, not masquerade as "model not found"
+            if e.name != f"nerfsr_tpu.models.{mod}":
                 raise
     name = opt.model
     if name not in MODEL_REGISTRY:

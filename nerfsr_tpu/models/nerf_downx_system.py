@@ -176,7 +176,9 @@ class NeRFDownXSystem(NeRFSystem):
 
         def loss_fn(params):
             rays = self._flat_rays(patch_batch)
-            out = self.render(params, rays, step_key, randomized=bool(self.opt.randomized))
+            out = self.render(params, rays, step_key,
+                              randomized=bool(self.opt.randomized),
+                              step=state.step)
             loss = 0.0
             for level in ("coarse_rgb", "fine_rgb"):
                 if level in out:
@@ -186,10 +188,10 @@ class NeRFDownXSystem(NeRFSystem):
                     # llff_downX_dataset.py:436-437 — TV on the grouped
                     # permutation would penalize sub-pixel layout, not
                     # image smoothness)
-                    img = out[level].reshape(plen_lr, plen_lr, ds, ds,
-                                             -1)
-                    img = img.transpose(0, 2, 1, 3, 4).reshape(
-                        1, side, side, -1)
+                    img = self._ungroup(
+                        out[level].reshape(plen_lr * plen_lr,
+                                           ds * ds, -1),
+                        hw=(side, side)).reshape(1, side, side, -1)
                     loss = loss + tv_loss(img)
             loss = loss * self.opt.reg_lambda_tv
             return loss, {"patch": loss}
@@ -255,7 +257,13 @@ class NeRFDownXSystem(NeRFSystem):
         plen = opt.patch_len
 
         def render_patch(params):
-            out = self.render(params, rays, step_key, randomized=bool(self.opt.randomized))
+            # step threads --prop_pad_anneal into the patch render;
+            # without it the pad evaluates at its FINAL value from
+            # step 0 (the zero-floor regime the resample death-spirals
+            # in during early training)
+            out = self.render(params, rays, step_key,
+                              randomized=bool(self.opt.randomized),
+                              step=state.step)
             return out["fine_rgb"].reshape(1, plen, plen, 3)
 
         def d_in(x):
@@ -264,8 +272,19 @@ class NeRFDownXSystem(NeRFSystem):
         fake = render_patch(state.params)
         fake_sg = jax.lax.stop_gradient(fake)
 
-        d_vars = lambda pd: {"params": pd,
-                             "batch_stats": d_state["batch_stats"]}
+        # refresh the spectral-norm power-iteration vectors ONCE per D
+        # update (torch parity: u/v advance on every D forward, outside
+        # the gradient) — without this the u/v frozen at init stop
+        # approximating the leading singular vectors as D trains and
+        # the Lipschitz normalization silently degrades
+        _, d_mut = self.netD.apply(
+            {"params": d_state["params"],
+             "batch_stats": d_state["batch_stats"]},
+            self._img_grad_mag(fake_sg) if opt.use_grad else fake_sg,
+            update_stats=True, mutable=["batch_stats"])
+        d_stats = jax.lax.stop_gradient(d_mut["batch_stats"])
+
+        d_vars = lambda pd: {"params": pd, "batch_stats": d_stats}
 
         def d_loss_fn(pd):
             pf = self.netD.apply(d_vars(pd), d_in(fake_sg))
@@ -299,7 +318,7 @@ class NeRFDownXSystem(NeRFSystem):
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state)
         return new_state, {"params": d_params,
-                           "batch_stats": d_state["batch_stats"],
+                           "batch_stats": d_stats,
                            "opt_state": d_opt}, \
             {"G_GAN": g_gan, "D_real": d_real, "D_fake": d_fake}
 
@@ -368,7 +387,8 @@ class NeRFDownXSystem(NeRFSystem):
 
         def loss_fn(params):
             out = self.render(params, rays, step_key,
-                              randomized=bool(self.opt.randomized))
+                              randomized=bool(self.opt.randomized),
+                              step=state.step)
             loss = 0.0
             for level in ("coarse_rgb", "fine_rgb"):
                 if level in out:
@@ -678,12 +698,13 @@ class NeRFDownXSystem(NeRFSystem):
                 name=f"{idx}-{level}-depth-ori", range=(near, far)))
         return vis
 
-    def _ungroup(self, grouped):
+    def _ungroup(self, grouped, hw=None):
         """(N_lr, ds^2, ...) -> (H*W, ...) HR scan order (parity:
         unflatten_reshape einops '(h1 w1)(s1 s2) c -> (h1 s1)(w1 s2) c').
         Works on numpy AND traced jax arrays (the device metric path
-        ungroups in-jit)."""
-        w, h = self.opt.img_wh
+        ungroups in-jit). ``hw`` overrides the full-image size for
+        patch-shaped grouped blocks (reg_patch TV)."""
+        w, h = hw if hw is not None else self.opt.img_wh
         ds = self.ds
         h1, w1 = h // ds, w // ds
         tail = grouped.shape[2:]

@@ -132,7 +132,8 @@ class NeRFSystem:
               and not opt.no_dir and not opt.stop_grad
               and opt.dim_rgb == 3 and opt.color_activation == "sigmoid"
               and not opt.no_xyz and not opt.no_logscale
-              and opt.mlp_network == "vanilla_mlp")
+              and getattr(opt, "mlp_network",
+                          "vanilla_mlp") == "vanilla_mlp")
         if getattr(opt, "use_pallas_mlp", False) and not ok:
             print("[nerf] use_pallas_mlp requested but architecture "
                   "differs from the fused kernel's; using flax path")
@@ -179,18 +180,28 @@ class NeRFSystem:
         # --prop_pad_anneal. The anneal length in steps depends on the
         # dataset size (steps/epoch), which is only known here; a
         # fraction lets scripts request "half the schedule" portably.
-        # Re-resolve from the CONFIGURED value on every call: a system
-        # reused across datasets (different steps_per_epoch) must not
-        # keep a stale anneal length from the first resolution.
+        # CONTRACT: resolve the schedule BEFORE the first jitted step —
+        # the jitted steps are static on `self` (identity hash) and
+        # bake render_cfg/tx in at trace time, so a later create_state
+        # with a DIFFERENT steps_per_epoch cannot retroactively change
+        # already-traced executables. Use a fresh system per schedule;
+        # the warning below flags the stale-trace hazard.
         frac = getattr(self.opt, "prop_pad_anneal_frac", 0.0)
         if not hasattr(self, "_configured_prop_pad_anneal"):
             self._configured_prop_pad_anneal = \
                 self.render_cfg.prop_pad_anneal
         if frac > 0 and self._configured_prop_pad_anneal == 0:
+            old = self.render_cfg.prop_pad_anneal
             total = self._steps_per_epoch * max(1, self.opt.n_epochs)
+            new = max(1, int(frac * total))
+            if old not in (0, new):
+                print(f"[nerf] WARNING: prop_pad_anneal re-resolved "
+                      f"{old} -> {new}; any step already traced on this "
+                      f"system instance keeps the OLD value (jit caches "
+                      f"key on the instance) — create a fresh system "
+                      f"for a different schedule")
             self.render_cfg = dataclasses.replace(
-                self.render_cfg,
-                prop_pad_anneal=max(1, int(frac * total)))
+                self.render_cfg, prop_pad_anneal=new)
         params = self.init_params(key)
         self.tx = self._make_tx(params)
         return TrainState(
@@ -297,12 +308,18 @@ class NeRFSystem:
         del out, batch
         return {}
 
-    def _ref_losses(self, params, ref_batch, key):
+    def _ref_losses(self, params, ref_batch, key, step=None):
         """Reference-view HR supervision: mse / downscale^2 on rays of
         the reference image (parity: ``models/nerf_model.py:267-270``,
-        gated by --with_ref / --no_ref_loss)."""
+        gated by --with_ref / --no_ref_loss). ``step`` threads the
+        --prop_pad_anneal schedule into the ref render — without it the
+        annealed pad evaluates at its FINAL value (typically 0.0) from
+        step 0, sampling the ref view with no exploration floor during
+        early training."""
         rays = self._batch_to_rays(ref_batch)
-        out = self.render(params, rays, key, randomized=bool(self.opt.randomized))
+        out = self.render(params, rays, key,
+                          randomized=bool(self.opt.randomized),
+                          step=step)
         scale = 1.0 / (self.opt.downscale ** 2)
         losses = {}
         tot = 0.0
@@ -384,7 +401,7 @@ class NeRFSystem:
             loss, losses = self._loss_fn(params, batch, k_render,
                                          state.step)
             ref_tot, ref_losses = self._ref_losses(params, ref_batch,
-                                                   k_ref)
+                                                   k_ref, state.step)
             if ref_w is not None:
                 ref_losses = {k: v * ref_w for k, v in ref_losses.items()}
                 ref_tot = ref_tot * ref_w

@@ -93,14 +93,23 @@ class RefineSystem:
         return self
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _stack_unet_input(sr, refs):
+        """sr (N,P,P,3) + refs (N,K,P,P,3) -> channel-stacked UNet input
+        (N,P,P,3+3K) — the ONE place the ref-patch packing order lives
+        (init and every apply share it; a divergence would silently
+        train on a different channel ordering than eval uses)."""
+        n, k, h, w, c = refs.shape
+        return jnp.concatenate(
+            [sr, refs.transpose(0, 2, 3, 1, 4).reshape(n, h, w, k * c)],
+            axis=-1)
+
     def _apply(self, variables, sr, refs, train):
         """Dispatch by network type (reference forward, :94-99)."""
         if self.is_unet:
-            n, k, h, w, c = refs.shape
-            stacked = jnp.concatenate(
-                [sr, refs.transpose(0, 2, 3, 1, 4).reshape(n, h, w, k * c)],
-                axis=-1)
-            return self.net.apply(variables, stacked, train=train,
+            return self.net.apply(variables,
+                                  self._stack_unet_input(sr, refs),
+                                  train=train,
                                   mutable=["batch_stats"] if train else
                                   False)
         return self.net.apply(variables, sr, refs, train=train,
@@ -115,10 +124,8 @@ class RefineSystem:
         sr = jnp.zeros((1, plen, plen, 3))
         refs = jnp.zeros((1, k, plen, plen, 3))
         if self.is_unet:
-            stacked = jnp.concatenate(
-                [sr, refs.transpose(0, 2, 3, 1, 4).reshape(
-                    1, plen, plen, k * 3)], -1)
-            variables = self.net.init(key, stacked, train=False)
+            variables = self.net.init(
+                key, self._stack_unet_input(sr, refs), train=False)
         else:
             variables = self.net.init(key, sr, refs, train=False)
         params = variables["params"]
@@ -343,13 +350,22 @@ class RefineSystem:
         pred_sg = jax.lax.stop_gradient(pred)
         d_fake_in = pred_sg if pool_fakes is None else pool_fakes
 
+        # refresh the spectral-norm power-iteration vectors ONCE per D
+        # update (torch parity: u/v advance every D forward, outside
+        # the gradient)
+        _, d_mut = self.netD.apply(
+            {"params": d_state["params"],
+             "batch_stats": d_state["batch_stats"]},
+            d_fake_in, update_stats=True, mutable=["batch_stats"])
+        d_stats = jax.lax.stop_gradient(d_mut["batch_stats"])
+
         def d_apply(p, bs, x):
             return self.netD.apply({"params": p, "batch_stats": bs}, x,
                                    update_stats=False)
 
         def d_loss_fn(pd):
-            fake = d_apply(pd, d_state["batch_stats"], d_fake_in)
-            real = d_apply(pd, d_state["batch_stats"], gt)
+            fake = d_apply(pd, d_stats, d_fake_in)
+            real = d_apply(pd, d_stats, gt)
             loss_fake = jnp.mean(fake ** 2)
             loss_real = jnp.mean((real - 1.0) ** 2)
             return 0.5 * (loss_fake + loss_real), (loss_real, loss_fake)
@@ -364,7 +380,7 @@ class RefineSystem:
             pred_g, mut = self._apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["sr_patch"], batch["ref_patches"], train=True)
-            fake = d_apply(d_params, d_state["batch_stats"], pred_g)
+            fake = d_apply(d_params, d_stats, pred_g)
             g_gan = jnp.mean((fake - 1.0) ** 2)
             # --lambda_L1 (reference models/refine_model.py:127; default 100)
             g_l1 = l1_loss(pred_g, gt) * self.opt.lambda_L1
@@ -379,7 +395,7 @@ class RefineSystem:
         new_state = RefineState(step=state.step + 1, params=params,
                                 batch_stats=batch_stats,
                                 opt_state=opt_state)
-        new_d = {"params": d_params, "batch_stats": d_state["batch_stats"],
+        new_d = {"params": d_params, "batch_stats": d_stats,
                  "opt_state": d_opt}
         losses = {"G_GAN": g_gan, "G_L1": g_l1, "D_real": d_real,
                   "D_fake": d_fake}

@@ -73,12 +73,21 @@ class TestDownXGanStep:
         patch = jax.tree_util.tree_map(jnp.asarray, ds.gan_patch(rng))
         assert patch["rgbs"].shape == (32, 32, 3)
         old_d = jax.tree_util.tree_leaves(d_state["params"])[0].copy()
+        old_bs = [np.asarray(x).copy() for x in
+                  jax.tree_util.tree_leaves(d_state["batch_stats"])]
         state, d_state, losses = sys_.gan_step(
             state, d_state, patch, jax.random.PRNGKey(2))
         for k in ("G_GAN", "D_real", "D_fake"):
             assert np.isfinite(float(losses[k])), k
         new_d = jax.tree_util.tree_leaves(d_state["params"])[0]
         assert not np.allclose(np.asarray(old_d), np.asarray(new_d))
+        # the spectral-norm power-iteration vectors must ADVANCE each
+        # D update (torch parity; regression: u/v frozen at init while
+        # D trained, silently degrading the Lipschitz normalization)
+        new_bs = jax.tree_util.tree_leaves(d_state["batch_stats"])
+        assert len(new_bs) > 0
+        assert any(not np.array_equal(a, np.asarray(b))
+                   for a, b in zip(old_bs, new_bs))
 
     def test_use_grad_d_input(self, tmp_path):
         from tools.make_synthetic_llff import make_llff_scene
