@@ -163,14 +163,9 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
     key = jax.random.PRNGKey(opt.seed)
     state = system.create_state(key, steps_per_epoch)
 
-    start_epoch = 0
-    if opt.continue_train:
-        resume = (int(opt.load_epoch) if opt.load_epoch != "latest"
-                  else ckpt.find_resume_epoch(opt))
-        if resume is not None:
-            state = ckpt.load_checkpoint(opt, state, epoch=resume)
-            start_epoch = resume
-            print(f"[train] resumed from epoch {resume}")
+    state, start_epoch = ckpt.resume_if_requested(opt, state)
+    if start_epoch:
+        print(f"[train] resumed from epoch {start_epoch}")
     state = ckpt.init_weights_from(opt, state, state)
     if mesh is not None and mesh_spans_processes(mesh):
         # multi-controller: the state must be a GLOBAL replicated array
@@ -197,6 +192,19 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
         t_epoch = time.time()
         scan_k = getattr(opt, "scan_steps", 0)
         can_scan = scan_k > 1 and hasattr(system, "train_steps_scan")
+        # when GAN/reg updates fire OUTSIDE the scan (the patch/
+        # with_ref scans don't fold them, and the folding scans need
+        # gan_dev), the single-dispatch gates below fire at most ONCE
+        # per dispatch — cap those chunks at the aux frequency so the
+        # configured cadence holds (scan 20 + gan_iter 10 would
+        # otherwise halve the D updates with no warning).
+        gan_active = (gan_state is not None
+                      and epoch > getattr(opt, "start_epoch", 0))
+        aux_freqs = [max(1, opt.gan_iter)] if gan_active else []
+        if reg_mode:
+            aux_freqs.append(max(1, opt.reg_patch_freq))
+        aux_cap = min(aux_freqs) if aux_freqs else None
+        scan_k_aux = scan_k if aux_cap is None else min(scan_k, aux_cap)
         it = 0
         while it < steps_per_epoch:
             use_warm = (warm_buffer is not None
@@ -217,26 +225,26 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                                                               key)
             elif patch_mode:
                 if (can_scan and hasattr(system, "train_steps_scan_patches")
-                        and steps_per_epoch - it >= scan_k):
+                        and steps_per_epoch - it >= scan_k_aux):
                     # patch sampling is in-jit dynamic slicing, so the
                     # whole chunk folds into one compiled scan — one
-                    # dispatch per scan_k steps instead of per step
+                    # dispatch per chunk instead of per step
                     # (VERDICT r4 weak #4)
-                    k = scan_k
+                    k = scan_k_aux
                     state, losses = system.train_steps_scan_patches(
-                        state, src, scan_k, opt.patch_size, key)
+                        state, src, k, opt.patch_size, key)
                 else:
                     k = 1
                     state, losses = system.train_step_patches(
                         state, src, key, opt.patch_size)
             elif use_ref and can_scan and not use_warm \
                     and hasattr(system, "train_steps_scan_with_ref") \
-                    and steps_per_epoch - it >= scan_k:
+                    and steps_per_epoch - it >= scan_k_aux:
                 # scanned with-ref chunk; --ref_freq gating happens
                 # inside the scan via a 0/1 mask keyed on it0 + i
-                k = scan_k
+                k = scan_k_aux
                 state, losses = system.train_steps_scan_with_ref(
-                    state, src, ref_buffer, scan_k, ref_freq, key,
+                    state, src, ref_buffer, k, ref_freq, key,
                     jnp.int32(it))
             elif use_ref and it % ref_freq == 0:
                 # ref-view supervision every --ref_freq steps (parity:
@@ -250,11 +258,15 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                 state, losses = system.train_step_from_buffer(state, src,
                                                               key)
             elif can_scan and not use_warm and \
-                    steps_per_epoch - it >= scan_k:
-                k = scan_k  # fixed chunk => one compiled scan program
-                gan_on = (gan_state is not None and gan_dev is not None
-                          and epoch > getattr(opt, "start_epoch", 0))
+                    steps_per_epoch - it >= scan_k_aux:
+                gan_on = gan_active and gan_dev is not None
                 reg_on = reg_mode and gan_dev is not None
+                # folding scans keep the full chunk (cadence exact
+                # in-scan); aux firing OUTSIDE the scan caps it
+                k = scan_k if (gan_on or reg_on or aux_cap is None) \
+                    else scan_k_aux
+                if steps_per_epoch - it < k:
+                    k = scan_k_aux
                 if gan_on:
                     # GAN (and optionally reg) updates fire INSIDE the
                     # scan at their exact cadences — zero per-firing
@@ -333,16 +345,22 @@ def train(opt, warmup_mode: Optional[str] = None, warmup_iters: int = 1000):
                     sample = val_ds.image_rays(0)
                     out = system.render_eval(state.params, val_ds, 0,
                                              sample)
-                    m = system.eval_metrics(out, sample)
+                    # gt-less view (e.g. path splits): visuals only —
+                    # same guard validate() applies
+                    m = (system.eval_metrics(out, sample)
+                         if sample.get("rgbs") is not None else {})
                     if need_vis and is_master():
                         vis = system.eval_visuals(
-                            out, sample, f"s{global_step}", with_gt=True,
+                            out, sample, f"s{global_step}",
+                            with_gt=sample.get("rgbs") is not None,
                             depth_bounds=val_ds.depth_bounds)
                         save_visuals(vis, _vis_dir(opt, epoch, "iter"))
-                writer.add_scalars(m, global_step, prefix="val_iter/")
-                if is_master():
-                    print(f"[val_iter s{global_step}] " + " ".join(
-                        f"{kk}={vv:.4g}" for kk, vv in m.items()))
+                if m:
+                    writer.add_scalars(m, global_step,
+                                       prefix="val_iter/")
+                    if is_master():
+                        print(f"[val_iter s{global_step}] " + " ".join(
+                            f"{kk}={vv:.4g}" for kk, vv in m.items()))
 
         print(f"[train] epoch {epoch} done in {time.time()-t_epoch:.1f}s")
 
@@ -440,6 +458,13 @@ def validate(opt, system, params, dataset, out_dir=None, max_images=None):
         # NeRFDownXSystem._post_grouped). Metrics never see quantized
         # values.
         quant = out_dir is not None and not host_metric
+        if out_dir is not None and host_metric and not quant:
+            # fallback views without gt (spiral/path splits) never feed
+            # metrics, so their renders are PNG-only — quantize the
+            # readback for them too (1/4 tunnel payload; gt presence is
+            # uniform per split for every dataset here)
+            quant = dataset.image_rays(
+                host_metric[0]).get("rgbs") is None
         renders = system.render_eval_many(params, dataset, todo,
                                           quantize_rgb=quant)
         for i, out in zip(todo, renders):
@@ -501,14 +526,9 @@ def train_refine(opt):
     except Exception as e:
         print(f"[refine] no val split: {e}")
 
-    start_epoch = 0
-    if getattr(opt, "continue_train", False):
-        resume = (int(opt.load_epoch) if opt.load_epoch != "latest"
-                  else ckpt.find_resume_epoch(opt))
-        if resume is not None:
-            state = ckpt.load_checkpoint(opt, state, epoch=resume)
-            start_epoch = resume
-            print(f"[refine] resumed from epoch {resume}")
+    state, start_epoch = ckpt.resume_if_requested(opt, state)
+    if start_epoch:
+        print(f"[refine] resumed from epoch {start_epoch}")
 
     log_every = getattr(opt, "log_every", 0) or \
         getattr(opt, "print_freq", 100)
@@ -650,7 +670,8 @@ def test_refine(opt):
         if gt_img is not None:
             metrics.append(system.eval_image_metrics(refined, sr_img,
                                                      gt_img))
-    save_visuals(visuals, out_dir)
+    if is_master():  # all ranks join the renders; one writes files
+        save_visuals(visuals, out_dir)
     if metrics:
         agg = {k: float(np.mean([m[k] for m in metrics]))
                for k in metrics[0]}
@@ -696,6 +717,7 @@ def test(opt):
     for level, frames in gif_frames.items():
         if len(frames) > 1:
             visuals.append(Visualizee("gif", frames, name=level))
-    save_visuals(visuals, out_dir)
-    print(f"[test] wrote {len(visuals)} artifacts to {out_dir}")
+    if is_master():  # all ranks join the renders; one writes files
+        save_visuals(visuals, out_dir)
+        print(f"[test] wrote {len(visuals)} artifacts to {out_dir}")
     return out_dir

@@ -46,8 +46,14 @@ def _warp_coords(depth, c2w, ref_w2c, focal, w, h):
     pts = pts @ c2w[:, :3].T + c2w[:, 3]                 # world
     pts = pts @ ref_w2c[:, :3].T + ref_w2c[:, 3]         # ref camera
     pts = pts / -pts[..., 2:3]                           # perspective div
-    px = jnp.floor(pts[..., 0] * focal + w / 2)
-    py = jnp.floor(pts[..., 1] * (-focal) + h / 2)
+    # trunc (toward zero), NOT floor: the reference casts with int()
+    # (warp.py:167-168), so a coordinate at -0.4 maps to column 0
+    # (valid) — floor would send it to -1 and mask a border pixel the
+    # reference samples. (Coordinates <= -1 stay masked here; the
+    # reference's negative-index numpy lookup silently WRAPS to the
+    # opposite border — a bug not reproduced.)
+    px = jnp.trunc(pts[..., 0] * focal + w / 2)
+    py = jnp.trunc(pts[..., 1] * (-focal) + h / 2)
     return jnp.stack([px, py], -1)
 
 
@@ -98,6 +104,7 @@ def generate_correspondences(root_dir, result_dir, img_wh,
     """
     import glob
     import os
+    import re
 
     from PIL import Image
 
@@ -110,11 +117,17 @@ def generate_correspondences(root_dir, result_dir, img_wh,
 
     depth_files = sorted(glob.glob(
         os.path.join(result_dir, "*fine-depth-ori.npz")))
-    n = len(depth_files)
     written = []
-    for i in range(n):
-        path = os.path.join(result_dir, f"{i}-fine-depth-ori.npz")
-        if not os.path.exists(path):
+    for path in depth_files:
+        # parse the view index FROM the filename (a subset render may
+        # start at a nonzero index; iterating range(len(files)) would
+        # silently warp nothing)
+        m = re.match(r"(\d+)-fine-depth-ori\.npz$",
+                     os.path.basename(path))
+        if not m:
+            continue
+        i = int(m.group(1))
+        if i >= len(poses):
             continue
         z = np.load(path)
         key = "matrix" if "matrix" in z else list(z.keys())[0]

@@ -220,6 +220,19 @@ def load_checkpoint(opt, state_template, epoch=None, name=None):
         return load_checkpoint(opt, state_template, epoch=fallback)
 
 
+def resume_if_requested(opt, state):
+    """``--continue_train`` resume -> (state, start_epoch). One shared
+    implementation for every training loop (engine.train and
+    engine.train_refine previously each carried a drifting copy)."""
+    if not getattr(opt, "continue_train", False):
+        return state, 0
+    resume = (int(opt.load_epoch) if opt.load_epoch != "latest"
+              else find_resume_epoch(opt))
+    if resume is None:
+        return state, 0
+    return load_checkpoint(opt, state, epoch=resume), resume
+
+
 def init_weights_from(opt, state, state_template):
     """Cross-experiment init: ``--init_weights name:epoch`` with
     ``--init_weights_keys`` regex filtering over flattened param paths

@@ -141,6 +141,50 @@ class TestEngineTrain:
         assert int(state.step) == 4
         assert calls["scan"] == 2 and calls["single"] == 0, calls
 
+    def test_aux_cadence_capped_under_with_ref_scan(self, llff_scene,
+                                                    tmp_path,
+                                                    monkeypatch):
+        """When an aux update fires OUTSIDE the scan (the with_ref scan
+        doesn't fold reg/GAN), the chunk is capped at the aux frequency
+        so the configured cadence holds — scan 4 + reg_patch_freq 2
+        must fire the TV update twice over 4 steps, not once
+        (regression: the per-chunk gate fires at most once per
+        dispatch)."""
+        from nerfsr_tpu import engine
+        from nerfsr_tpu.models.nerf_downx_system import NeRFDownXSystem
+
+        calls = {"reg": 0, "ref_k": []}
+        orig_reg = NeRFDownXSystem.reg_patch_step
+        from nerfsr_tpu.models.nerf_system import NeRFSystem
+        orig_scan = NeRFSystem.train_steps_scan_with_ref
+
+        def spy_reg(self, *a, **k):
+            calls["reg"] += 1
+            return orig_reg(self, *a, **k)
+
+        def spy_scan(self, state, src, ref, n, *a, **k):
+            calls["ref_k"].append(n)
+            return orig_scan(self, state, src, ref, n, *a, **k)
+
+        monkeypatch.setattr(NeRFDownXSystem, "reg_patch_step", spy_reg)
+        monkeypatch.setattr(NeRFSystem, "train_steps_scan_with_ref",
+                            spy_scan)
+        opt = default_options(
+            "train", model="nerf_downX", dataset_mode="llff_downX",
+            dataset_root=llff_scene, img_wh=(16, 16), downscale=2,
+            with_ref=True, reg_patch=True, reg_patch_len=2,
+            reg_patch_freq=2,
+            batch_size=8, N_coarse=4, N_importance=4,
+            D=2, W=16, deg_pos=2, deg_dir=1, precision="f32",
+            n_epochs=1, n_epochs_decay=0, steps_per_epoch=4,
+            scan_steps=4, log_every=0, save_epoch_freq=0,
+            val_epoch_freq=0, vis_epoch_freq=0, val_freq=0,
+            checkpoints_dir=str(tmp_path / "ck"),
+            summary_dir=str(tmp_path / "runs"), name="auxcap")
+        engine.train(opt)
+        assert calls["ref_k"] == [2, 2], calls  # chunk capped at freq
+        assert calls["reg"] == 2, calls  # fired at its 2 AND 4
+
     def test_gan_and_reg_route_to_scan(self, llff_scene, tmp_path,
                                        monkeypatch):
         """--with_netD (+ --reg_patch) + --scan_steps folds the D+G and

@@ -50,7 +50,9 @@ class TestWarp:
         locs, _ = warp_view(depth, c2w, ref_w2c, ref_rgb, f, (w, h),
                             ndc_depth=False)
         ii = np.arange(w)
-        expected = np.floor(ii + 0.5 - b * f / z)
+        # trunc-toward-zero, the reference's int() cast (warp.py:167) —
+        # floor would differ for the negative out-of-frame columns
+        expected = np.trunc(ii + 0.5 - b * f / z)
         np.testing.assert_allclose(locs[5, :, 0], expected, atol=1e-3)
 
     def test_generate_correspondences(self, tmp_path):
