@@ -67,8 +67,14 @@ def str2bool(v):
 
 
 def build_parser(phase: str) -> argparse.ArgumentParser:
+    # allow_abbrev=False: the explicit-flag detection that keeps user
+    # flags above dataset defaults / presets compares argv spellings
+    # against flag dests — an argparse prefix abbreviation
+    # (--N_import for --N_importance) would parse but then lose to the
+    # preset value silently. Full flag names only.
     p = argparse.ArgumentParser(
-        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        allow_abbrev=False)
 
     # ---- base options (options/base_options.py:35-74) ----
     p.add_argument("--accelerator", type=str, default="dp",

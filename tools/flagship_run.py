@@ -21,7 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    p = argparse.ArgumentParser()
+    # allow_abbrev=False: the preset/explicit-flag interplay compares
+    # argv spellings; abbreviations would silently lose to the preset
+    p = argparse.ArgumentParser(allow_abbrev=False)
     p.add_argument("out_dir", nargs="?", default="/tmp/flagship")
     p.add_argument("--steps", type=int, default=6000)
     p.add_argument("--wh", type=int, nargs=2, default=[504, 378])
@@ -33,10 +35,11 @@ def main():
                         "128, scripts/train_llff_downX.sh:19)")
     p.add_argument("--batch_size", type=int, default=512,
                    help="LR pixels per step (x ds^2 HR rays)")
+    from nerfsr_tpu.config import FAST_PRESETS
     p.add_argument("--fast_preset", type=str, default=None,
+                   choices=sorted(FAST_PRESETS),
                    help="expand a validated config preset "
-                        "(llff/quality/blender/universal/parity — "
-                        "see config.FAST_PRESETS); explicit flags "
+                        "(see config.FAST_PRESETS); explicit flags "
                         "passed here still override preset values")
     p.add_argument("--fast_sampling", action="store_true",
                    help="proposal-MLP sampling (see config.py)")
@@ -97,7 +100,23 @@ def main():
     if args.specular:
         name += "_spec"
     scene = os.path.join(args.out_dir, name)
-    if not os.path.exists(os.path.join(scene, "sparse/0/cameras.bin")):
+    # reuse guard: points3D.bin is the LAST artifact the generator
+    # writes (cameras.bin is first — a killed run would leave a scene
+    # that "exists" but is torn), and a reused scene must match the
+    # requested resolution (LANCZOS-upsampled stale images would
+    # silently corrupt a higher-res run's supervision).
+    done_marker = os.path.join(scene, "sparse/0/points3D.bin")
+    if os.path.exists(done_marker):
+        from PIL import Image
+        imgs = sorted(os.listdir(os.path.join(scene, "images")))
+        with Image.open(os.path.join(scene, "images", imgs[0])) as im:
+            if im.size != (w, h) or len(imgs) != args.n_imgs:
+                raise SystemExit(
+                    f"[flagship] existing scene {scene} is "
+                    f"{im.size}/{len(imgs)} imgs but this run wants "
+                    f"({w}, {h})/{args.n_imgs} — use a different "
+                    f"out_dir or delete the scene")
+    else:
         print(f"[flagship] generating synthetic LLFF scene {w}x{h} "
               f"(texture={args.texture} clutter={args.clutter} "
               f"specular={args.specular})...")
@@ -150,6 +169,13 @@ def main():
                                 steps_per_epoch=spe)
     key = jax.random.PRNGKey(args.seed)
 
+    total_schedule = spe * opt.n_epochs + spe * opt.n_epochs_decay
+    if args.steps < spe * opt.n_epochs:
+        print(f"[flagship] WARNING: --steps {args.steps} < the "
+              f"{spe * opt.n_epochs}-step schedule the quality claims "
+              f"assume — LR decay/pad anneal will not complete "
+              f"(probe runs only)")
+    del total_schedule
     K = 100
     steps = 0
     t0 = time.time()
@@ -165,6 +191,7 @@ def main():
                 f" ({hr_rays/(time.time()-t0):,.0f} HR rays/s)",
                 flush=True)
 
+    train_s = time.time() - t0
     ck = sum(float(jnp.sum(jnp.abs(x)))
              for x in jax.tree_util.tree_leaves(state.params))
     print(f"[flagship] param_checksum={ck!r}")
@@ -173,7 +200,7 @@ def main():
                        out_dir=os.path.join(args.out_dir, "val_vis"))
     print("[flagship] FINAL val:", {k: round(v, 5)
                                     for k, v in metrics.items()})
-    print(f"[flagship] {steps} steps in {time.time()-t0:.0f}s")
+    print(f"[flagship] {steps} steps in {train_s:.0f}s (train only)")
 
 
 if __name__ == "__main__":
